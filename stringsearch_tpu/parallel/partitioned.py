@@ -1,0 +1,196 @@
+"""Partitioned suffix arrays — data-parallel construction, merged queries.
+
+Capability parity with the reference's only parallelism strategy
+(ref: crates/sacapart/src/lib.rs:26-98 `PartitionedSuffixArray`):
+split the text into P partitions, build each partition's SA in parallel,
+and answer queries by searching every partition and keeping the best match,
+with cross-boundary repair.
+
+TPU-first re-design:
+- rayon `par_chunks` (ref: sacapart/src/lib.rs:45-51) becomes a *batched*
+  build: all partitions' doubling loops run as one vmapped program, so a
+  single chip sorts all partitions at once, and a mesh shards the partition
+  axis across chips (see parallel/mesh.py).
+- the query path (ref: sacapart/src/lib.rs:69-97) becomes: one vmapped
+  LCS search over [P] partitions × [B] needles, then a *boundary repair*
+  that recomputes each candidate's true match length against the full text
+  (a strict improvement over the reference's right-extension at :77-84 —
+  every candidate is extended, not only those touching a boundary), then an
+  argmax keeping the earliest partition on ties (ref behavior at :86-92).
+- non-divisible lengths: the last partition is zero-padded. End-padding with
+  0x00 preserves the relative order of real suffixes inside the chunk
+  (pad bytes sort lowest and ties break by length in the same direction as
+  true suffix order); candidates that start inside padding are masked out,
+  and the full-text repair step removes any influence of pad bytes on
+  match lengths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stringsearch_tpu.core import compare as cmp
+from stringsearch_tpu.core.search import (
+    _ceil_log2,
+    _needle_batch_to_windows,
+    lcs_kernel,
+)
+from stringsearch_tpu.core.types import (
+    BytesLike,
+    LongestCommonSubstring,
+    as_text_array,
+)
+
+
+@partial(jax.jit, static_argnames=("num_partitions",))
+def build_partitioned(padded_text: jnp.ndarray, num_partitions: int):
+    """Build all partition SAs in one batched program.
+
+    padded_text: uint8 [P*L]. Returns sa int32 [P, L].
+    """
+    from stringsearch_tpu.engines.doubling import build_with_isa
+
+    chunks = padded_text.reshape(num_partitions, -1)
+    sa, _isa = jax.vmap(build_with_isa)(chunks)
+    return chunks, sa
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def partitioned_query(chunks, sas, full_text, real_lens, needles, lens, steps: int):
+    """Query all partitions, repair against the full text, reduce.
+
+    chunks: uint8 [P, L]; sas: int32 [P, L]; full_text: uint8 [n];
+    needles: int32 [B, M]; lens: int32 [B].
+    Returns (start [B], length [B]) — global text coordinates.
+    """
+    p, chunk_len = chunks.shape
+    m_width = needles.shape[-1]
+
+    # per-partition LCS candidates: [P, B]
+    starts, _lengths = jax.vmap(lambda c, s: lcs_kernel(c, s, needles, steps))(
+        chunks, sas
+    )
+
+    offsets = (jnp.arange(p, dtype=jnp.int32) * chunk_len)[:, None]
+    global_starts = starts + offsets  # [P, B]
+    valid = starts < real_lens[:, None]  # not a pure-padding suffix
+
+    # boundary repair: true match length vs the full text (covers both
+    # pad-byte contamination and cross-partition extension)
+    windows = cmp.gather_window(full_text, global_starts, m_width)  # [P,B,M]
+    true_len = cmp.prefix_match_len(windows, needles[None, :, :])  # [P,B]
+    true_len = jnp.where(valid, true_len, -1)
+
+    best_p = jnp.argmax(true_len, axis=0)  # first max wins → earliest partition
+    best_len = jnp.max(true_len, axis=0)
+    best_start = jnp.take_along_axis(global_starts, best_p[None, :], axis=0)[0]
+    return best_start, jnp.maximum(best_len, 0)
+
+
+class PartitionedSuffixArray:
+    """P per-partition suffix arrays over one text (ref: sacapart).
+
+    Same documented trade-off as the reference (sacapart/src/lib.rs:5-25):
+    construction parallelises across partitions; queries search all
+    partitions; matches crossing a boundary may be shorter than the
+    full-text optimum (mitigated here by full-text repair of every
+    candidate).
+    """
+
+    def __init__(
+        self,
+        text: BytesLike,
+        num_partitions: int,
+        engine: Union[str, Callable, None] = None,
+    ):
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        self.text = as_text_array(text)
+        n = int(self.text.shape[0])
+        self._num_partitions = num_partitions
+        part = -(-max(n, num_partitions) // num_partitions)  # ceil, >= 1
+        self.partition_size = part
+        padded_len = part * num_partitions
+        pad = padded_len - n
+        padded = (
+            jnp.concatenate([self.text, jnp.zeros((pad,), jnp.uint8)])
+            if pad
+            else self.text
+        )
+        self.real_lens = jnp.asarray(
+            [max(0, min(n - i * part, part)) for i in range(num_partitions)],
+            dtype=jnp.int32,
+        )
+        if engine is None or engine == "doubling" or callable(engine):
+            # batched on-device build (callable engines also route here —
+            # the batched doubling build *is* the device engine; host
+            # callables are only meaningful for the oracle, handled below)
+            if callable(engine):
+                self.chunks, self.sas = self._build_with_callable(
+                    padded, num_partitions, engine
+                )
+            else:
+                self.chunks, self.sas = build_partitioned(padded, num_partitions)
+        else:
+            self.chunks, self.sas = self._build_with_callable(
+                padded, num_partitions, None, engine_name=engine
+            )
+        self._host_text: Optional[np.ndarray] = None
+
+    @staticmethod
+    def _build_with_callable(padded, num_partitions, fn, engine_name=None):
+        from stringsearch_tpu.engines import get_engine
+
+        if fn is None:
+            fn = get_engine(engine_name)
+        chunks = padded.reshape(num_partitions, -1)
+        host_chunks = np.asarray(chunks)
+        sas = np.stack(
+            [np.asarray(fn(host_chunks[i]).sa) for i in range(num_partitions)]
+        )
+        return chunks, jnp.asarray(sas, dtype=jnp.int32)
+
+    def num_partitions(self) -> int:
+        """Ref: crates/sacapart/src/lib.rs:60-62."""
+        return self._num_partitions
+
+    def text_bytes(self) -> np.ndarray:
+        if self._host_text is None:
+            self._host_text = np.asarray(self.text)
+        return self._host_text
+
+    def longest_substring_match_batch(
+        self, needles: Sequence[BytesLike]
+    ) -> list[LongestCommonSubstring]:
+        if not needles:
+            return []
+        n = int(self.text.shape[0])
+        host = self.text_bytes()
+        if n == 0:
+            return [LongestCommonSubstring(host, 0, 0) for _ in needles]
+        padded, lens, _w = _needle_batch_to_windows(needles)
+        steps = _ceil_log2(self.partition_size + 1) + 1
+        start, length = partitioned_query(
+            self.chunks,
+            self.sas,
+            self.text,
+            self.real_lens,
+            jnp.asarray(padded),
+            jnp.asarray(lens),
+            steps,
+        )
+        start = np.asarray(start)
+        length = np.asarray(length)
+        return [
+            LongestCommonSubstring(host, int(start[i]), int(length[i]))
+            for i in range(len(needles))
+        ]
+
+    def longest_substring_match(self, needle: BytesLike) -> LongestCommonSubstring:
+        """Ref: crates/sacapart/src/lib.rs:65-98 (StringIndex impl)."""
+        return self.longest_substring_match_batch([needle])[0]

@@ -1,0 +1,66 @@
+"""Doubling-engine conformance: parity vs naive oracle + verify property.
+
+Mirrors the reference's test strategy of fuzz-derived regression inputs,
+each sorted and then *verified* (ref: crates/divsufsort/src/lib.rs:31-92,
+the sort helper verifies at lib.rs:88-91) — property checking, not golden
+files.
+"""
+
+import numpy as np
+import pytest
+
+import stringsearch_tpu as st
+from tests.conftest import naive_suffix_array
+
+
+def test_regression_corpus_parity(corpus):
+    for name, data in corpus.items():
+        sa = st.build_suffix_array(data, engine="doubling")
+        got = np.asarray(sa.sa)
+        if len(data) <= 2048:
+            want = naive_suffix_array(data)
+            assert np.array_equal(got, want), f"corpus case {name!r} mismatch"
+        sa.verify()
+
+
+def test_random_fuzz_parity():
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n = int(rng.integers(1, 300))
+        alpha = int(rng.choice([1, 2, 4, 16, 256]))
+        data = bytes(rng.integers(0, alpha, n, dtype=np.uint8))
+        sa = st.build_suffix_array(data)
+        want = naive_suffix_array(data)
+        assert np.array_equal(np.asarray(sa.sa), want), (trial, n, alpha)
+        sa.verify()
+
+
+def test_short_inputs():
+    for data, want in [
+        (b"", []),
+        (b"x", [0]),
+        (b"ab", [0, 1]),
+        (b"ba", [1, 0]),
+        (b"aa", [1, 0]),
+    ]:
+        sa = st.build_suffix_array(data)
+        assert np.asarray(sa.sa).tolist() == want, data
+        sa.verify()
+
+
+def test_sort_in_place_api():
+    from stringsearch_tpu.engines.doubling import sort_in_place
+
+    data = b"banana"
+    out = np.zeros(len(data), dtype=np.int32)
+    sort_in_place(data, out)
+    assert out.tolist() == [5, 3, 1, 0, 4, 2]
+
+
+def test_length_guard():
+    # i32 index path refuses n >= 2^31 without allocating
+    class FakeText:
+        pass
+
+    with pytest.raises(Exception):
+        st.build_suffix_array(np.zeros(0, dtype=np.int16))  # wrong dtype

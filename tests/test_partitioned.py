@@ -1,0 +1,74 @@
+"""Partition-semantics tests (ref: crates/sacapart/src/lib.rs:100-166).
+
+The reference pins two behaviors:
+- `worse_test` (:106-126): a match crossing a partition boundary may degrade
+  — but our full-text repair recovers it, so we pin the *stronger* behavior.
+- `equivalent_test` (:129-165): partitioned results equal full-index results
+  across 1/2/3 partitions.
+"""
+
+import numpy as np
+
+import stringsearch_tpu as st
+
+
+def test_boundary_match_repaired():
+    # ref worse_test: text "I am at the. tor house" split in 2 at 'tor';
+    # the reference degrades to "to" — our repair recovers the full "tor".
+    text = b"I am at the. tor house"
+    p = st.PartitionedSuffixArray(text, 2)
+    m = p.longest_substring_match(b"tor")
+    assert m.len == 3
+    assert m.as_bytes() == b"tor"
+
+
+def test_equivalent_across_partition_counts():
+    text = b"it is time, gentlemen; time to go home, time to sleep, time flies"
+    full = st.build_suffix_array(text)
+    needles = [b"time to", b"gentle", b"sleep, time flies away", b"zzz", b"t"]
+    want = [full.longest_substring_match(nd).len for nd in needles]
+    for parts in (1, 2, 3, 4, 7):
+        p = st.PartitionedSuffixArray(text, parts)
+        got = [p.longest_substring_match(nd).len for nd in needles]
+        assert got == want, (parts, got, want)
+        for nd in needles:
+            m = p.longest_substring_match(nd)
+            assert text[m.start : m.start + m.len] == nd[: m.len]
+
+
+def test_non_divisible_lengths_and_padding():
+    rng = np.random.default_rng(11)
+    text = bytes(rng.integers(0, 8, 101, dtype=np.uint8))
+    full = st.build_suffix_array(text)
+    for parts in (2, 3, 4):
+        p = st.PartitionedSuffixArray(text, parts)
+        for _ in range(10):
+            start = int(rng.integers(0, 95))
+            ln = int(rng.integers(1, 7))
+            needle = text[start : start + ln]
+            m = p.longest_substring_match(needle)
+            f = full.longest_substring_match(needle)
+            assert m.len == f.len == len(needle), (parts, needle)
+            assert text[m.start : m.start + m.len] == needle
+
+
+def test_padding_never_matches_fake_bytes():
+    # needle of zero bytes must not match inside the padded tail
+    text = b"abcdefg"  # 7 bytes, 2 partitions -> pad 1 zero
+    p = st.PartitionedSuffixArray(text, 2)
+    m = p.longest_substring_match(b"\x00\x00")
+    assert m.len == 0
+
+
+def test_num_partitions_accessor():
+    p = st.PartitionedSuffixArray(b"hello world", 3)
+    assert p.num_partitions() == 3
+
+
+def test_batched_queries():
+    text = b"abcabcabd" * 30
+    p = st.PartitionedSuffixArray(text, 4)
+    needles = [b"abcabd", b"bd" * 3, b"xyz"]
+    ms = p.longest_substring_match_batch(needles)
+    assert ms[0].len == 6
+    assert ms[2].len == 0
