@@ -1,0 +1,241 @@
+"""DC3 (difference cover mod 3) SACA — the second in-framework engine.
+
+Capability parity: the reference ships a naive, *incomplete* DC3
+(ref: crates/dc3/src/lib.rs — "incomplete, exploratory", crates/dc3/README.md:4,
+with its ordering test disabled at lib.rs:216-217). This implementation is a
+complete, correct DC3 (Kärkkäinen–Sanders difference-cover recursion),
+giving the framework a second independently-derived engine for
+crosschecking against the doubling engine and the host oracle — the role
+divsufsort-vs-cdivsufsort differential testing plays in the reference.
+
+TPU-first re-expression of the classic phases
+(ref shapes: crates/dc3/src/lib.rs:15-39 radix_pass, :74-76 triple passes,
+:78-100 naming, :116-127 mod-0 sort, :129-192 merge):
+- the 3× LSB radix passes over triples become one multi-key `lax.sort`;
+- lexicographic naming is a neighbor-diff + prefix-sum;
+- the sequential two-pointer merge (leq2/leq3 compares) becomes two
+  vectorized *binary-search cross-ranks*: every mod-0 suffix counts how
+  many sample suffixes precede it (log2 rounds of the O(1) rank-based
+  comparator) and vice versa, then one scatter builds the merged SA.
+- recursion is host-driven (each level is a jitted program; levels shrink
+  geometrically by 2/3).
+
+All values int32; text bytes are biased +1 so 0 is the unique sentinel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stringsearch_tpu.core.types import SuffixArray, as_text_array
+
+_I32 = jnp.int32
+
+
+def _lex3_less(a1, a2, a3, b1, b2, b3):
+    """(a1,a2,a3) < (b1,b2,b3) lexicographically, elementwise."""
+    return (a1 < b1) | (
+        (a1 == b1) & ((a2 < b2) | ((a2 == b2) & (a3 < b3)))
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "n0", "n02"))
+def _sample_sort(tpad, n: int, n0: int, n02: int):
+    """Sort sample (mod-1/mod-2) positions by their character triples.
+
+    Returns (sorted sample positions [n02], names-in-R-layout [n02],
+    num_names scalar). R layout: slot i//3 for i%3==1, slot n0 + i//3 for
+    i%3==2 (the classic reduced-string arrangement).
+    """
+    lim = 3 * n0 + 1  # positions i < lim with i%3 != 0 number exactly n02
+    mod1 = 1 + 3 * jnp.arange(n0, dtype=_I32)  # n0 of them: 1,4,...,3n0-2
+    mod2 = 2 + 3 * jnp.arange(n02 - n0, dtype=_I32)
+    s12 = jnp.concatenate([mod1, mod2])
+    del lim
+    k0 = jnp.take(tpad, s12)
+    k1 = jnp.take(tpad, s12 + 1)
+    k2 = jnp.take(tpad, s12 + 2)
+    c0, c1, c2, pos = jax.lax.sort((k0, k1, k2, s12), num_keys=3)
+    diff = (c0[1:] != c0[:-1]) | (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])
+    flags = jnp.concatenate([jnp.zeros((1,), _I32), diff.astype(_I32)])
+    names_sorted = jnp.cumsum(flags)  # 0-based dense names in sorted order
+    num_names = names_sorted[-1] + 1
+    # scatter names into the reduced-string layout
+    slot = jnp.where(pos % 3 == 1, pos // 3, n0 + pos // 3)
+    r = jnp.zeros((n02,), _I32).at[slot].set(names_sorted)
+    return pos, r, num_names
+
+
+@partial(jax.jit, static_argnames=("n0",))
+def _unrank_samples(sa_r, n0: int):
+    """Map reduced-string SA entries back to text positions."""
+    return jnp.where(sa_r < n0, 1 + 3 * sa_r, 2 + 3 * (sa_r - n0))
+
+
+@partial(jax.jit, static_argnames=("n", "n0", "drop_pad", "steps0", "steps12"))
+def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int, steps12: int):
+    """Rank samples, sort mod-0 suffixes, merge via binary-search cross-ranks."""
+    # ranks: rank12[p] = 1-based rank of sample suffix at text position p
+    npad = tpad.shape[0]
+    n12 = sa12_all.shape[0] - (1 if drop_pad else 0)
+    sa12 = sa12_all[1:] if drop_pad else sa12_all  # padding suffix sorts first
+    rank12 = jnp.zeros((npad,), _I32).at[jnp.clip(sa12, 0, npad - 1)].set(
+        1 + jnp.arange(n12, dtype=_I32)
+    )
+
+    # mod-0 suffixes sorted by (first char, rank of following sample suffix)
+    s0 = 3 * jnp.arange(n0, dtype=_I32)
+    c = jnp.take(tpad, s0)
+    r = jnp.take(rank12, s0 + 1)
+    _c, _r, sa0 = jax.lax.sort((c, r, s0), num_keys=2)
+
+    def less(i, j):
+        """suffix at i < suffix at j, where exactly one of i, j is mod-0 and
+        the other is a sample — the O(1) DC3 comparator
+        (ref: crates/dc3/src/lib.rs:3-11 leq2/leq3)."""
+        jm = j % 3
+        ti = jnp.take(tpad, i)
+        tj = jnp.take(tpad, j)
+        # mod 1: compare (T[i], rank[i+1]) vs (T[j], rank[j+1])
+        l1 = _lex3_less(
+            ti, jnp.take(rank12, i + 1), jnp.zeros_like(ti),
+            tj, jnp.take(rank12, j + 1), jnp.zeros_like(tj),
+        )
+        # mod 2: compare (T[i], T[i+1], rank[i+2]) vs same for j
+        l2 = _lex3_less(
+            ti, jnp.take(tpad, i + 1), jnp.take(rank12, i + 2),
+            tj, jnp.take(tpad, j + 1), jnp.take(rank12, j + 2),
+        )
+        return jnp.where(jm == 1, l1, l2)
+
+    def count_less(queries, arr, steps, query_is_mod0):
+        """#elements of sorted-suffix-position array `arr` strictly less
+        than each query suffix, by vectorized binary search."""
+        m = arr.shape[0]
+        lo = jnp.zeros(queries.shape, _I32)
+        hi = jnp.full(queries.shape, m, _I32)
+
+        def body(_, state):
+            lo, hi = state
+            mid = (lo + hi) // 2
+            midpos = jnp.take(arr, jnp.clip(mid, 0, m - 1))
+            # `less` takes (mod-0 position, sample position); suffixes are
+            # never equal, so arr[mid] < q ⟺ ¬(q < arr[mid]).
+            if query_is_mod0:
+                arr_less = ~less(queries, midpos)  # arr = samples
+            else:
+                arr_less = less(midpos, queries)  # arr = mod-0 suffixes
+            active = lo < hi
+            lo = jnp.where(active & arr_less, mid + 1, lo)
+            hi = jnp.where(active & (~arr_less), mid, hi)
+            return lo, hi
+
+        lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        return lo
+
+    # positions in the merged SA
+    pos0 = jnp.arange(n0, dtype=_I32) + count_less(sa0, sa12, steps12, True)
+    pos12 = jnp.arange(n12, dtype=_I32) + count_less(sa12, sa0, steps0, False)
+    out_n = n0 + n12  # == n (+1 if the text itself had a padding slot)
+    sa = jnp.zeros((out_n,), _I32)
+    sa = sa.at[pos0].set(sa0)
+    sa = sa.at[pos12].set(sa12)
+    return sa
+
+
+def _ceil_log2(x: int) -> int:
+    return max(1, int(x - 1).bit_length()) if x > 1 else 1
+
+
+def _reduced_size(v: int) -> int:
+    """n02 of a level of size v: (v+2)//3 mod-0 slots + v//3 mod-2 slots."""
+    return (v + 2) // 3 + v // 3
+
+
+def _build_buckets(limit: int = 1 << 31) -> list[int]:
+    """Size buckets spaced so that each bucket's reduced string fits in the
+    previous bucket: b_{k+1} = max v with n02(v) <= b_k (ratio ~1.5).
+    Guarantees the padded recursion strictly shrinks."""
+    buckets = [4]
+    while buckets[-1] < limit:
+        b = buckets[-1]
+        # largest v with (v+2)//3 + v//3 <= b; n02 is monotone, step search
+        v = (3 * b) // 2
+        while _reduced_size(v + 1) <= b:
+            v += 1
+        while _reduced_size(v) > b:
+            v -= 1
+        buckets.append(v)
+    return buckets
+
+
+_BUCKETS = _build_buckets()
+
+
+def _dc3(t: jnp.ndarray) -> jnp.ndarray:
+    """Suffix array of int32 array `t` (values >= 1; 0 is reserved).
+
+    Pads to the next size bucket with sentinel zeros before running the
+    core. Pad suffixes (all-sentinel) sort strictly first — real values are
+    >= 1 — and appending a strictly-smaller character preserves the
+    relative order of all real suffixes, so the real SA is the tail slice.
+    This collapses jit shapes to ~log1.5(n) families across all inputs and
+    recursion levels, and the bucket construction guarantees each
+    recursion level is strictly smaller.
+    """
+    n = int(t.shape[0])
+    if n <= 3:
+        host = np.asarray(t)
+        order = sorted(range(n), key=lambda i: host[i:].tolist())
+        return jnp.asarray(order, dtype=_I32)
+    import bisect
+
+    m = _BUCKETS[bisect.bisect_left(_BUCKETS, n)]
+    if m > n:
+        t = jnp.concatenate([t, jnp.zeros((m - n,), _I32)])
+        return _dc3_core(t)[m - n :]
+    return _dc3_core(t)
+
+
+def _dc3_core(t: jnp.ndarray) -> jnp.ndarray:
+    n = int(t.shape[0])
+    if n <= 3:
+        host = np.asarray(t)
+        order = sorted(range(n), key=lambda i: host[i:].tolist())
+        return jnp.asarray(order, dtype=_I32)
+
+    n0 = (n + 2) // 3
+    n1 = (n + 1) // 3
+    n2 = n // 3
+    n02 = n0 + n2
+    drop_pad = n0 != n1  # n % 3 == 1: sample set includes padding position n
+
+    tpad = jnp.concatenate([t, jnp.zeros((3,), _I32)])
+    pos_sorted, r, num_names = _sample_sort(tpad, n, n0, n02)
+
+    if int(num_names) < n02:
+        # recurse on the reduced string (values +1 keep 0 as sentinel)
+        sa_r = _dc3(r + 1)
+        sa12_all = _unrank_samples(sa_r, n0)
+    else:
+        sa12_all = pos_sorted
+
+    steps0 = _ceil_log2(n0 + 1) + 1
+    n12 = n02 - (1 if drop_pad else 0)
+    steps12 = _ceil_log2(n12 + 1) + 1
+    sa = _finish(tpad, sa12_all, n, n0, drop_pad, steps0, steps12)
+    return sa
+
+
+def sort(text) -> SuffixArray:
+    """Build the suffix array with DC3 (engine-shaped API)."""
+    arr = as_text_array(text)
+    n = int(arr.shape[0])
+    if n == 0:
+        return SuffixArray(arr, np.zeros((0,), np.int32))
+    sa = _dc3(arr.astype(_I32) + 1)
+    return SuffixArray(arr, sa)

@@ -95,6 +95,47 @@ def build_with_isa(text: jnp.ndarray):
     return sa, rank
 
 
+@jax.jit
+def _initial_rank_jit(text):
+    return _initial_rank(text)
+
+
+@jax.jit
+def _round_jit(rank, h):
+    return _doubling_round(rank.shape[0], rank, h)
+
+
+def sort_traced(text, tracer) -> "SuffixArray":
+    """Traced build: host-stepped doubling rounds with per-phase dumps.
+
+    The tracing analog of the reference's crosscheck-feature build
+    (ref: crates/divsufsort/src/crosscheck.rs; trace calls threaded through
+    phases, e.g. divsufsort.rs:177,190). The fast path (`sort`) carries no
+    tracing code at all — tracing selects this separate execution path.
+    """
+    arr = as_text_array(text)
+    n = int(arr.shape[0])
+    tracer.log(f"doubling engine n={n}")
+    if n < 3:
+        sa = sort(arr)
+        tracer.dump("SA final", sa.sa)
+        tracer.flush()
+        return sa
+    rank, sa, done = _initial_rank_jit(arr)
+    tracer.dump("rank h=3 (3-byte radix)", rank)
+    tracer.dump("SA h=3", sa)
+    h = 3
+    while not bool(done) and h < n:
+        rank, sa, done = _round_jit(rank, jnp.int32(h))
+        h *= 2
+        tracer.log(f"round -> h={h} done={bool(done)}")
+        tracer.dump(f"rank h={h}", rank)
+        tracer.dump(f"SA h={h}", sa)
+    tracer.dump("SA final", sa)
+    tracer.flush()
+    return SuffixArray(arr, sa)
+
+
 def sort_in_place(text, sa_out: np.ndarray) -> None:
     """Fill a caller-provided int32 buffer (ref API shape:
     crates/divsufsort/src/lib.rs:20-22)."""

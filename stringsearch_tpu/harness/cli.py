@@ -1,0 +1,167 @@
+"""CLI harness: crosscheck | bench | run.
+
+Capability parity with the reference CLI (ref: crates/divsuftest/src/main.rs):
+- `crosscheck <file> [len]` — differential test: the trusted host oracle
+  and the TPU engine(s) each sort the input; every output is verified and
+  the SAs are compared byte-exact; nonzero exit on any mismatch
+  (ref: main.rs:82-113). `--trace` additionally writes diffable phase
+  dumps to crosscheck/{engine}, like the reference's crosscheck/{c,rust}.
+- `bench <file> [len]` — times each engine and prints a table with
+  Time and Average speed in B/s = len / elapsed (ref: main.rs:123-190,
+  formula :179).
+- `run <file> [len]` — one timed sort, "Done in {t}" (ref: main.rs:115-121).
+
+Length caps accept k/m/g suffixes (ref: main.rs:192-208).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from stringsearch_tpu.utils.sizes import format_size, format_throughput, parse_size
+
+
+def _load_input(path: str, length: str | None) -> bytes:
+    with open(path, "rb") as f:
+        data = f.read()
+    if length is not None:
+        cap = parse_size(length)
+        data = data[:cap]
+    return data
+
+
+def _sync(x) -> None:
+    """Force device execution (block_until_ready is unreliable through the
+    remote TPU tunnel; a scalar fetch is not)."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.max(x)) if hasattr(x, "shape") and x.size else None
+
+
+def _timed_sort(engine_fn, data: bytes) -> tuple[float, "object"]:
+    t0 = time.perf_counter()
+    sa = engine_fn(data)
+    _sync(sa.sa)
+    return time.perf_counter() - t0, sa
+
+
+def command_run(args) -> int:
+    from stringsearch_tpu.engines import get_engine
+
+    data = _load_input(args.input, args.length)
+    engine = get_engine(args.engine)
+    engine(data[: min(len(data), 4096)])  # warmup/compile on a small slice
+    dt, sa = _timed_sort(engine, data)
+    print(f"Done in {dt:.3f}s ({format_throughput(len(data) / max(dt, 1e-9))})")
+    if args.verify:
+        sa.verify()
+        print("verify: OK")
+    return 0
+
+
+def command_bench(args) -> int:
+    from stringsearch_tpu.engines import ENGINES, get_engine
+
+    data = _load_input(args.input, args.length)
+    print(f"input: {args.input} ({format_size(len(data))})")
+    rows = []
+    names = args.engines.split(",") if args.engines else list(ENGINES)
+    for name in names:
+        try:
+            engine = get_engine(name)
+        except KeyError as e:
+            print(f"skipping {name}: {e}", file=sys.stderr)
+            continue
+        try:
+            engine(data[: min(len(data), 4096)])  # warmup/compile
+            dt, sa = _timed_sort(engine, data)
+            sa.verify()
+            rows.append((name, dt, len(data) / max(dt, 1e-9)))
+        except NotImplementedError:
+            print(f"skipping {name}: not implemented", file=sys.stderr)
+    w = max(len(r[0]) for r in rows) if rows else 10
+    print(f"{'Algorithm':<{w}}  {'Time':>10}  {'Average speed':>16}")
+    for name, dt, bps in rows:
+        print(f"{name:<{w}}  {dt:>9.3f}s  {format_throughput(bps):>16}")
+    return 0
+
+
+def command_crosscheck(args) -> int:
+    from stringsearch_tpu import oracle
+    from stringsearch_tpu.engines import get_engine
+
+    data = _load_input(args.input, args.length)
+    print(f"crosscheck on {format_size(len(data))}")
+
+    # trusted oracle first (ref: main.rs:89-94 runs the C engine first)
+    c_sa = oracle.build(data)
+    rc = oracle.sufcheck(data, c_sa)
+    if rc != 0:
+        print(f"FAIL: oracle output failed sufcheck (rc={rc})")
+        return 1
+    print("oracle: built + sufcheck OK")
+
+    names = args.engines.split(",") if args.engines else ["doubling"]
+    status = 0
+    for name in names:
+        if args.trace:
+            from stringsearch_tpu.harness.tracing import Tracer
+
+            if name == "doubling":
+                from stringsearch_tpu.engines.doubling import sort_traced
+
+                with Tracer(f"crosscheck/{name}") as tr:
+                    sa = sort_traced(data, tr)
+                with Tracer("crosscheck/oracle") as tr:
+                    tr.log(f"oracle n={len(data)}")
+                    tr.dump("SA final", c_sa)
+            else:
+                sa = get_engine(name)(data)
+        else:
+            sa = get_engine(name)(data)
+        sa.verify()
+        got = np.asarray(sa.sa)
+        if np.array_equal(got, c_sa):
+            print(f"{name}: verify OK, byte-exact match vs oracle")
+        else:
+            bad = int(np.argmax(got != c_sa))
+            print(
+                f"{name}: MISMATCH at SA[{bad}]: got {got[bad]}, oracle {c_sa[bad]}"
+            )
+            status = 1
+    return status
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="stringsearch-tpu",
+        description="TPU-native suffix-array harness (crosscheck | bench | run)",
+    )
+    ap.add_argument("command", choices=["crosscheck", "bench", "run"])
+    ap.add_argument("input", help="input file")
+    ap.add_argument("length", nargs="?", default=None, help="size cap (k/m/g suffixes)")
+    ap.add_argument("--engine", default="doubling", help="engine for `run`")
+    ap.add_argument("--engines", default=None, help="comma list for bench/crosscheck")
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--verify", action="store_true", help="verify after `run`")
+    ap.add_argument("--trace", action="store_true", help="write crosscheck/ trace dumps")
+    args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    if args.command == "run":
+        return command_run(args)
+    if args.command == "bench":
+        return command_bench(args)
+    return command_crosscheck(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
