@@ -153,6 +153,32 @@ def sa_search_kernel(text, sa, needles, lens, steps: int):
     return count, lo_l
 
 
+@jax.jit
+def simplesearch_kernel(text, sa, chars):
+    """Single-character occurrence search, batched over chars [B].
+
+    Returns (count [B], left [B]). The SA's first-character column is
+    nondecreasing, so both bounds are one vectorized searchsorted each
+    (ref: c-sources/utils.c:328-381 `sa_simplesearch`).
+    """
+    first = jnp.take(text, sa).astype(jnp.int32)  # nondecreasing [n]
+    c = chars.astype(jnp.int32)
+    left = jnp.searchsorted(first, c, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(first, c, side="right").astype(jnp.int32)
+    return right - left, left
+
+
+def sa_simplesearch(index: SuffixArray, c: int) -> tuple[int, int]:
+    """(count, leftmost SA index) of suffixes starting with byte `c`."""
+    n = len(index)
+    if n == 0:
+        return 0, 0
+    count, left = simplesearch_kernel(
+        index.text, index.sa, jnp.asarray([c], dtype=jnp.int32)
+    )
+    return int(np.asarray(count)[0]), int(np.asarray(left)[0])
+
+
 # ---------------------------------------------------------------------------
 # host-facing wrappers
 # ---------------------------------------------------------------------------

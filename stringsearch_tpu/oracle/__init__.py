@@ -49,6 +49,8 @@ def load() -> ctypes.CDLL:
         lib.saca_sufcheck.restype = ctypes.c_int32
         lib.saca_search.argtypes = [u8p, ctypes.c_int32, u8p, ctypes.c_int32, i32p, ctypes.c_int32, i32p]
         lib.saca_search.restype = ctypes.c_int64
+        lib.saca_simplesearch.argtypes = [u8p, ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32, i32p]
+        lib.saca_simplesearch.restype = ctypes.c_int64
         lib.saca_bwt.argtypes = [u8p, u8p, ctypes.c_int32]
         lib.saca_bwt.restype = ctypes.c_int32
         lib.saca_unbwt.argtypes = [u8p, u8p, ctypes.c_int32, ctypes.c_int32]
@@ -112,6 +114,18 @@ def search(data: BytesLike, needle: BytesLike, sa: np.ndarray) -> tuple[int, int
     cnt = load().saca_search(_u8p(t), len(t), _u8p(p), len(p), _i32p(sa), len(sa), _i32p(idx))
     if cnt < 0:
         raise RuntimeError(f"oracle saca_search failed: rc={cnt}")
+    return int(cnt), int(idx[0])
+
+
+def simplesearch(data: BytesLike, c: int, sa: np.ndarray) -> tuple[int, int]:
+    """Single-char (count, leftmost SA index)
+    (ref: c-sources/utils.c:328-381 `sa_simplesearch`)."""
+    t = _as_host_u8(data)
+    sa = np.ascontiguousarray(np.asarray(sa, dtype=np.int32))
+    idx = np.zeros(1, dtype=np.int32)
+    cnt = load().saca_simplesearch(_u8p(t), len(t), _i32p(sa), len(sa), int(c), _i32p(idx))
+    if cnt < 0:
+        raise RuntimeError(f"oracle saca_simplesearch failed: rc={cnt}")
     return int(cnt), int(idx[0])
 
 

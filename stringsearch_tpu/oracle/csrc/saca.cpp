@@ -226,6 +226,28 @@ int64_t saca_search(const uint8_t* T, i32 Tn, const uint8_t* P, i32 Pn,
   return (int64_t)(lo - lb);
 }
 
+// Single-character occurrence search (ref API: c-sources/utils.c:328-381
+// `sa_simplesearch`): count + leftmost SA index of suffixes starting with c.
+int64_t saca_simplesearch(const uint8_t* T, i32 Tn, const i32* SA, i32 SAn,
+                          i32 c, i32* idx) {
+  if (Tn < 0 || SAn != Tn || c < 0 || c > 255) return -1;
+  i32 lo = 0, hi = Tn;
+  while (lo < hi) {  // lower bound
+    i32 mid = lo + (hi - lo) / 2;
+    if ((i32)T[SA[mid]] < c) lo = mid + 1;
+    else hi = mid;
+  }
+  i32 lb = lo;
+  hi = Tn;
+  while (lo < hi) {  // upper bound
+    i32 mid = lo + (hi - lo) / 2;
+    if ((i32)T[SA[mid]] <= c) lo = mid + 1;
+    else hi = mid;
+  }
+  if (idx) *idx = lb;
+  return (int64_t)(lo - lb);
+}
+
 // Burrows–Wheeler transform via the suffix array.
 // Convention (documented; round-trips with saca_unbwt):
 //   U[0] = T[n-1]; the remaining n-1 bytes are T[SA[i]-1] for SA rows i in

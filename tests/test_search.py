@@ -99,3 +99,19 @@ def test_common_prefix_len_long_match():
     assert int(lcp) == 5000  # suffix at 5001 is pure x's and ends first
     lcp2 = st.common_prefix_len(text, 0, 1)
     assert int(lcp2) == 4999  # 'y' breaks the run one byte earlier
+
+
+def test_sa_simplesearch_matches_oracle():
+    from stringsearch_tpu import oracle
+    from stringsearch_tpu.core.search import sa_simplesearch
+
+    rng = np.random.default_rng(31)
+    text = bytes(rng.integers(0, 5, 300, dtype=np.uint8))
+    idx = st.build_suffix_array(text)
+    c_sa = oracle.build(text)
+    for c in range(7):
+        t_cnt, t_left = sa_simplesearch(idx, c)
+        c_cnt, c_left = oracle.simplesearch(text, c, c_sa)
+        assert t_cnt == c_cnt == text.count(bytes([c])), c
+        if t_cnt:
+            assert t_left == c_left
