@@ -1,0 +1,129 @@
+"""Distributed multi-key sort over a device mesh — bitonic merge-split.
+
+The TPU-native building block the reference has no analog of: its only
+parallelism is rayon threads over *independent* partitions
+(ref: crates/sacapart/src/lib.rs:45-51), so cross-partition order is never
+reconciled. The global suffix-array engine (parallel/global_sa.py) needs a
+*true global sort* of key tuples that live sharded across chips.
+
+Design: chunk-level bitonic merge-split — the classic distributed sort for
+fixed-size shards on a torus/ring:
+
+- each device locally sorts its [L] chunk (XLA sort);
+- the bitonic network over P chunk-slots runs comparator stages; each
+  comparator is: exchange chunks with a partner over ICI (`ppermute`),
+  merge the two sorted chunks (one 2L XLA sort), keep the lower or upper
+  half depending on network direction;
+- P power-of-two, all shapes static, O(log^2 P) stages, each stage moving
+  exactly L elements per key array per device — no sample-based capacity
+  bounds to violate (a sample sort's all-to-all can overflow any fixed
+  per-pair capacity on adversarial/all-equal data; merge-split cannot).
+
+All functions here run INSIDE `shard_map` with a named mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _merge_halves(mine, theirs, mine_first: jnp.ndarray, keep_low: jnp.ndarray, num_keys: int):
+    """Merge two per-device sorted tuples of [L] arrays; keep one half.
+
+    Both partners MUST materialize the identical merged list, or ties that
+    straddle the split point get duplicated on one side and dropped on the
+    other (stable sort breaks ties by input position, and the partners see
+    the two chunks in opposite positions). `mine_first` pins a canonical
+    concatenation order — the lower-indexed device's chunk first on both
+    sides. keep_low / mine_first are traced bool scalars.
+    """
+    length = mine[0].shape[0]
+    cat = tuple(
+        jnp.where(
+            mine_first,
+            jnp.concatenate([a, b]),
+            jnp.concatenate([b, a]),
+        )
+        for a, b in zip(mine, theirs)
+    )
+    merged = jax.lax.sort(cat, num_keys=num_keys)
+    low = tuple(a[:length] for a in merged)
+    high = tuple(a[length:] for a in merged)
+    return tuple(
+        jnp.where(keep_low, lo, hi) for lo, hi in zip(low, high)
+    )
+
+
+def sharded_sort(
+    operands: Sequence[jnp.ndarray],
+    axis_name: str,
+    num_keys: int = 1,
+):
+    """Globally sort sharded arrays by their first `num_keys` operands.
+
+    Each operand is the *local* [L] shard of a global [P*L] array. After the
+    call, the logical concatenation of shards along the mesh axis is sorted
+    lexicographically by the key operands; value operands are permuted
+    alongside. The sort is NOT stable across equal full key tuples — make
+    keys unique (e.g. append a position operand as the last key) when
+    determinism matters.
+    """
+    operands = tuple(operands)
+    p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+
+    # local sort
+    operands = jax.lax.sort(operands, num_keys=num_keys)
+    if p == 1:
+        return operands
+
+    if p & (p - 1):
+        raise ValueError(f"sharded_sort needs a power-of-two axis, got {p}")
+
+    k = 2
+    while k <= p:
+        j = k // 2
+        while j >= 1:
+            partner = me ^ j
+            # ascending region of the bitonic network
+            ascending = (me & k) == 0
+            perm = [(i, i ^ j) for i in range(p)]
+            theirs = tuple(
+                jax.lax.ppermute(a, axis_name, perm) for a in operands
+            )
+            mine_first = me < partner
+            keep_low = mine_first == ascending
+            operands = _merge_halves(operands, theirs, mine_first, keep_low, num_keys)
+            j //= 2
+        k *= 2
+    return operands
+
+
+def exclusive_shard_offset(local_sum: jnp.ndarray, axis_name: str):
+    """Sum of `local_sum` over all lower-indexed shards (exclusive scan).
+
+    Used to turn per-shard cumsums into global cumsums: a one-hot
+    all-gather of the scalar partials followed by a masked sum, so the
+    collective is a single small all-gather over ICI.
+    """
+    p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    partials = jax.lax.all_gather(local_sum, axis_name)  # [P]
+    mask = jnp.arange(p, dtype=jnp.int32) < me
+    return jnp.sum(jnp.where(mask, partials, 0), axis=0)
+
+
+def shift_in_from_prev(x_last: jnp.ndarray, axis_name: str, fill):
+    """Bring the previous shard's boundary value in (for neighbor diffs).
+
+    x_last: this shard's last element (scalar or [k]); returns the
+    previous shard's x_last, with `fill` on shard 0.
+    """
+    p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+    prev = jax.lax.ppermute(x_last, axis_name, perm)
+    return jnp.where(me == 0, jnp.full_like(prev, fill), prev)

@@ -1,0 +1,74 @@
+"""Exact global sharded SA (parallel/global_sa.py) on the 8-way CPU mesh.
+
+The invariant under test is strict: the sharded build must produce THE
+suffix array of the whole text — byte-identical to the single-device
+doubling engine and to the naive oracle — including zero-pad handling,
+cross-shard rank propagation, and the distributed bitonic sort.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import stringsearch_tpu as st
+from stringsearch_tpu.harness.corpus import enwik_like, regression_corpus
+from stringsearch_tpu.parallel.global_sa import build_global
+from stringsearch_tpu.parallel.mesh import make_mesh
+
+from tests.conftest import naive_suffix_array
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return make_mesh(8, batch_axis=1, devices=devs)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    return make_mesh(4, batch_axis=1, devices=devs)
+
+
+def test_global_exact_small(mesh8):
+    text = b"banana band bandana ban bananas in pajamas"
+    g = build_global(text, mesh8)
+    np.testing.assert_array_equal(g.suffix_array(), naive_suffix_array(text))
+
+
+def test_global_exact_vs_engine(mesh8):
+    text = enwik_like(3000, seed=3)
+    g = build_global(text, mesh8)
+    want = np.asarray(st.build_suffix_array(text).sa)
+    np.testing.assert_array_equal(g.suffix_array(), want)
+
+
+@pytest.mark.parametrize("name", ["period2", "fibonacci", "sparse-alpha",
+                                  "all-zero-64", "random-4k", "shruggy"])
+def test_global_regression_corpus(mesh8, name):
+    text = regression_corpus()[name]
+    g = build_global(text, mesh8)
+    np.testing.assert_array_equal(g.suffix_array(), naive_suffix_array(text))
+
+
+def test_global_non_divisible_lengths(mesh4):
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3, 5, 17, 101, 1003):
+        text = bytes(rng.integers(0, 8, n, dtype=np.uint8))
+        g = build_global(text, mesh4)
+        np.testing.assert_array_equal(
+            g.suffix_array(), naive_suffix_array(text), err_msg=f"n={n}"
+        )
+
+
+def test_global_query_api(mesh8):
+    text = b"the quick brown fox jumps over the lazy dog; the fox again"
+    g = build_global(text, mesh8)
+    idx = g.to_suffix_array_index()
+    m = idx.longest_substring_match(b"the fox jumps")
+    assert text[m.start : m.start + m.len] == b"the fox jumps"[: m.len]
+    assert m.len == len(b"the fox ")  # diverges at "again" in the text
