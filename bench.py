@@ -31,7 +31,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from stringsearch_tpu.engines.doubling import build_with_isa
+    from stringsearch_tpu.engines.doubling import build_adaptive
     from stringsearch_tpu.harness.corpus import enwik_like
 
     text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
@@ -42,14 +42,16 @@ def main() -> None:
         # execution with a scalar reduction fetched to host (4-byte pull)
         return float(np.asarray(jnp.max(x)))
 
-    # warmup / compile
-    sa, isa = build_with_isa(text)
+    # warmup / compile (the adaptive build's shape schedule is input-
+    # deterministic, so one warmup run compiles every kernel the timed
+    # reps will use)
+    sa, isa = build_adaptive(text)
     sync(sa)
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sa, isa = build_with_isa(text)
+        sa, isa = build_adaptive(text)
         sync(sa)
         times.append(time.perf_counter() - t0)
     dt = min(times)

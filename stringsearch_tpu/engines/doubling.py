@@ -1,4 +1,4 @@
-"""Prefix-doubling SACA — the flagship TPU engine.
+"""Prefix-doubling SACA with tied-group compaction — the flagship TPU engine.
 
 Capability parity: exact suffix-array construction for u8 text, the role
 played by divsufsort in the reference (ref: crates/divsufsort/src/lib.rs:20-29
@@ -6,19 +6,31 @@ played by divsufsort in the reference (ref: crates/divsufsort/src/lib.rs:20-29
 reference's trsort already contains a rank-doubling loop over B* suffixes
 (ref: crates/divsufsort/src/trsort.rs:1347-1411 doubling via
 `ISAd += ISAd - ISA`); here that idea is generalized to the whole text and
-re-expressed with data-parallel primitives only:
+re-expressed with data-parallel primitives only. The build is ONE jitted
+program with no host round-trips:
 
-  1. initial ranks from a 3-byte packed radix key (one sort) — the analog of
-     divsufsort's 2-char bucket radix placement
+  1. initial ranks from a 6-byte packed radix key (one 2-key sort) — the
+     analog of divsufsort's 2-char bucket radix placement
      (ref: crates/divsufsort/src/divsufsort.rs:127-161);
-  2. doubling rounds: sort positions by (rank[i], rank[i+h]) pairs, assign
-     new dense ranks with a vectorized neighbor-diff + prefix-sum —
-     O(log n) rounds of XLA sort;
-  3. stop when all ranks are unique (lax.while_loop with an on-device
-     uniqueness flag — no host round-trip per round).
+  2. full-width doubling rounds — sort by (rank[i], rank[i+h]), assign
+     head-slot ranks with a neighbor-diff + cumulative max — inside a
+     lax.while_loop, until at most n/4 positions remain in tied groups;
+  3. compaction (Larsson–Sadakane re-expressed for TPU): the tied-group
+     members move to a static n/4-capacity array; further rounds sort
+     only those, scattering rank/SA updates back into the full arrays —
+     the analog of trsort's sorted-run skipping via negative ISA
+     sentinels (ref: crates/divsufsort/src/trsort.rs:1363-1410).
 
-Everything is int32 (n < 2^31, matching the reference's Idx=i32,
-ref: crates/divsufsort/src/common.rs:4). All shapes static under jit.
+Ranks are "head-slot" ranks — the SA slot index of the group's first
+element — so a compacted element's global SA slot is
+`group_head_rank + offset_within_group`. Head-slot ranks are
+order-isomorphic to dense ranks and equal the final ISA once all groups
+are singletons.
+
+Indexes default to int32 (n < 2^31, the reference's Idx=i32,
+ref: crates/divsufsort/src/common.rs:4); pass idx=jnp.int64 (with jax
+x64 enabled) for the 64-bit mode (ref: c-sources/divsufsort_private.h:63-84
+BUILD_DIVSUFSORT64). All shapes are static under jit.
 """
 
 from __future__ import annotations
@@ -32,6 +44,10 @@ import numpy as np
 from stringsearch_tpu.core.types import SuffixArray, as_text_array
 
 _I32 = jnp.int32
+
+
+def _sent(idx) -> jnp.ndarray:
+    return jnp.asarray(np.iinfo(np.dtype(idx)).max, idx)
 
 
 def _pack3(t: jnp.ndarray, off: int) -> jnp.ndarray:
@@ -55,28 +71,6 @@ def _scatter_to_text_order(sa, rank_s):
     return rank
 
 
-def _initial_rank(text: jnp.ndarray):
-    """Dense ranks by the first 6 bytes (two 27-bit keys, one 2-key sort).
-
-    Bytes are biased +1 so past-the-end (0) sorts below any real byte —
-    the analog of divsufsort's 2-char bucket radix placement
-    (ref: crates/divsufsort/src/divsufsort.rs:127-161), widened to 6 bytes
-    so the doubling loop starts at h=6.
-    """
-    n = text.shape[0]
-    t = jnp.concatenate([text.astype(_I32) + 1, jnp.zeros((6,), _I32)])
-    key1 = _pack3(t, 0)
-    key2 = _pack3(t, 3)
-    iota = jnp.arange(n, dtype=_I32)
-    k1s, k2s, sa = jax.lax.sort((key1, key2, iota), num_keys=2)
-    diff = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
-    new_flag = jnp.concatenate([jnp.ones((1,), _I32), diff.astype(_I32)])
-    rank_s = jnp.cumsum(new_flag) - 1
-    rank = _scatter_to_text_order(sa, rank_s)
-    done = rank_s[-1] == n - 1
-    return rank, sa, done
-
-
 def _shift_ranks(rank, h):
     """rank_h[i] = rank[i+h] with -1 past the end — a shift, not a gather.
 
@@ -85,57 +79,165 @@ def _shift_ranks(rank, h):
     TPU, ~2x the price of the sort itself at n=2^24).
     """
     n = rank.shape[0]
-    ext = jnp.concatenate([rank, jnp.full((n,), -1, _I32)])
+    ext = jnp.concatenate([rank, jnp.full((n,), -1, rank.dtype)])
     return jax.lax.dynamic_slice_in_dim(ext, h, n)
 
 
-def _doubling_round(text_len: int, rank, h):
-    """One doubling round: returns (new_rank, sa, done)."""
-    n = text_len
-    iota = jnp.arange(n, dtype=_I32)
+def _heads_and_tied(new_flag_bool, j):
+    """head[j] = slot index of j's group head; tied[j] = group size >= 2."""
+    head = jax.lax.cummax(jnp.where(new_flag_bool, j, -1))
+    nxt_head = jnp.concatenate([head[1:], jnp.full((1,), -1, head.dtype)])
+    tied = (head != j) | (nxt_head == head)
+    return head, tied
+
+
+def _initial_full(text, idx=_I32):
+    """6-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
+    n = text.shape[0]
+    t = jnp.concatenate([text.astype(_I32) + 1, jnp.zeros((6,), _I32)])
+    key1 = _pack3(t, 0)
+    key2 = _pack3(t, 3)
+    j = jnp.arange(n, dtype=idx)
+    k1s, k2s, sa_s = jax.lax.sort((key1, key2, j), num_keys=2)
+    new_flag = jnp.concatenate(
+        [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
+    )
+    rank_s, tied = _heads_and_tied(new_flag, j)
+    rank = _scatter_to_text_order(sa_s, rank_s)
+    return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
+
+
+def _full_round(rank, h, idx=_I32):
+    """One full-width round with head-slot ranks + tied count."""
+    n = rank.shape[0]
+    j = jnp.arange(n, dtype=idx)
     rank_h = _shift_ranks(rank, h)
-    r1s, r2s, sa = jax.lax.sort((rank, rank_h, iota), num_keys=2)
-    diff = (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])
-    new_flag = jnp.concatenate([jnp.ones((1,), _I32), diff.astype(_I32)])
-    rank_s = jnp.cumsum(new_flag) - 1
-    new_rank = _scatter_to_text_order(sa, rank_s)
-    done = rank_s[-1] == n - 1
-    return new_rank, sa, done
+    r1s, r2s, sa_s = jax.lax.sort((rank, rank_h, j), num_keys=2)
+    new_flag = jnp.concatenate(
+        [jnp.ones((1,), bool), (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])]
+    )
+    rank_s, tied = _heads_and_tied(new_flag, j)
+    rank = _scatter_to_text_order(sa_s, rank_s)
+    return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
 
 
-@jax.jit
-def build_with_isa(text: jnp.ndarray):
-    """Jittable SA construction. Returns (sa, isa) both int32 [n].
+def _extract(rank_s, sa_s, m: int, idx=_I32):
+    """Compact the members of all tied groups into capacity-m arrays.
 
-    `isa` (inverse suffix array / final ranks) comes for free from the
-    doubling state and feeds verification and LCP construction.
+    Returns (g [m], pos [m]): group-head ranks and text positions, sorted
+    by g (groups contiguous). Pad slots carry g = sentinel, pos = n.
+    """
+    n = rank_s.shape[0]
+    j = jnp.arange(n, dtype=idx)
+    nxt_head = jnp.concatenate([rank_s[1:], jnp.full((1,), -1, idx)])
+    tied = (rank_s != j) | (nxt_head == rank_s)
+    key = jnp.where(tied, rank_s, _sent(idx))
+    ks, pos = jax.lax.sort((key, sa_s), num_keys=1)
+    g = ks[:m]
+    pos = jnp.where(g == _sent(idx), n, pos[:m])
+    return g, pos
+
+
+def _compact_round(g, pos, rank, sa, h, idx=_I32):
+    """One compacted round over the tied groups only.
+
+    g/pos: [m] group-head ranks + positions (pads g=sentinel, pos=n);
+    rank/sa: full [n] state updated by scatter. Returns
+    (g', pos', rank', sa', count) with resolved entries blanked to pads.
+    """
+    n = rank.shape[0]
+    m = g.shape[0]
+    sent = _sent(idx)
+    j = jnp.arange(m, dtype=idx)
+    ph = pos + h
+    key2 = jnp.where(ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -1)
+    g_s, k2_s, pos_s = jax.lax.sort((g, key2, pos), num_keys=3)
+    group_f = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
+    run_f = group_f | jnp.concatenate(
+        [jnp.ones((1,), bool), k2_s[1:] != k2_s[:-1]]
+    )
+    ghead = jax.lax.cummax(jnp.where(group_f, j, -1))
+    rhead = jax.lax.cummax(jnp.where(run_f, j, -1))
+    valid = g_s != sent
+    slot = jnp.where(valid, g_s + (j - ghead), n)
+    new_g = jnp.where(valid, g_s + (rhead - ghead), sent)
+    rank = rank.at[jnp.where(valid, pos_s, n)].set(new_g, mode="drop")
+    sa = sa.at[slot].set(pos_s, mode="drop")
+    nxt_rhead = jnp.concatenate([rhead[1:], jnp.full((1,), -1, idx)])
+    tied = valid & ((rhead != j) | (nxt_rhead == rhead))
+    count = jnp.sum(tied.astype(idx))
+    g_next = jnp.where(tied, new_g, sent)
+    pos_next = jnp.where(tied, pos_s, n)
+    return g_next, pos_next, rank, sa, count
+
+
+@partial(jax.jit, static_argnames=("idx",))
+def build_with_isa(text: jnp.ndarray, idx=_I32):
+    """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
+
+    One device program: full doubling rounds in a while_loop until the
+    tied count drops to n/4, one extraction into a static n/4-capacity
+    buffer, then compacted rounds in a second while_loop until every
+    group is a singleton. `isa` (the final head-slot ranks = inverse
+    suffix array) comes for free and feeds verification and LCP work.
     """
     n = text.shape[0]
-    rank0, sa0, done0 = _initial_rank(text)
+    n_i = jnp.asarray(n, idx)
+    rank0, sa0, rank_s0, count0 = _initial_full(text, idx)
+    threshold = n // 4
+    h0 = jnp.minimum(jnp.asarray(6, idx), n_i)
 
-    def cond(state):
-        _rank, _sa, h, done = state
-        return (~done) & (h < n)
+    def cond1(st):
+        _rank, _sa, _rank_s, h, count = st
+        return (count > threshold) & (h < n_i)
 
-    def body(state):
-        rank, _sa, h, _done = state
-        new_rank, sa, done = _doubling_round(n, rank, h)
-        return new_rank, sa, h * 2, done
+    def body1(st):
+        rank, _sa, _rank_s, h, _count = st
+        rank, sa_s, rank_s, count = _full_round(rank, h, idx)
+        return rank, sa_s, rank_s, jnp.minimum(h + h, n_i), count
 
-    rank, sa, _h, _done = jax.lax.while_loop(
-        cond, body, (rank0, sa0, jnp.int32(3), done0)
+    rank, sa, rank_s, h, count = jax.lax.while_loop(
+        cond1, body1, (rank0, sa0, rank_s0, h0, count0)
+    )
+
+    m = max(n // 4, 1)
+    g0, pos0 = _extract(rank_s, sa, m, idx)
+
+    def cond2(st):
+        _g, _pos, _rank, _sa, h, count = st
+        return (count > 0) & (h < n_i)
+
+    def body2(st):
+        g, pos, rank, sa, h, _count = st
+        g, pos, rank, sa, count = _compact_round(g, pos, rank, sa, h, idx)
+        return g, pos, rank, sa, jnp.minimum(h + h, n_i), count
+
+    _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
+        cond2, body2, (g0, pos0, rank, sa, h, count)
     )
     return sa, rank
 
 
+def build_adaptive(text: jnp.ndarray):
+    """Back-compat alias: the fused build IS the adaptive build now."""
+    return build_with_isa(text)
+
+
+# ---------------------------------------------------------------------------
+# traced build (separate, host-stepped path used by `crosscheck --trace`)
+# ---------------------------------------------------------------------------
+
+
 @jax.jit
 def _initial_rank_jit(text):
-    return _initial_rank(text)
+    rank, sa_s, _rank_s, count = _initial_full(text)
+    return rank, sa_s, count == 0
 
 
 @jax.jit
 def _round_jit(rank, h):
-    return _doubling_round(rank.shape[0], rank, h)
+    rank, sa_s, _rank_s, count = _full_round(rank, h)
+    return rank, sa_s, count == 0
 
 
 def sort_traced(text, tracer) -> "SuffixArray":
@@ -155,9 +257,9 @@ def sort_traced(text, tracer) -> "SuffixArray":
         tracer.flush()
         return sa
     rank, sa, done = _initial_rank_jit(arr)
-    tracer.dump("rank h=3 (3-byte radix)", rank)
-    tracer.dump("SA h=3", sa)
-    h = 3
+    tracer.dump("rank h=6 (6-byte radix)", rank)
+    tracer.dump("SA h=6", sa)
+    h = 6
     while not bool(done) and h < n:
         rank, sa, done = _round_jit(rank, jnp.int32(h))
         h *= 2
@@ -172,8 +274,7 @@ def sort_traced(text, tracer) -> "SuffixArray":
 def sort_in_place(text, sa_out: np.ndarray) -> None:
     """Fill a caller-provided int32 buffer (ref API shape:
     crates/divsufsort/src/lib.rs:20-22)."""
-    sa, _ = build_with_isa(as_text_array(text))
-    np.copyto(sa_out, np.asarray(sa))
+    np.copyto(sa_out, np.asarray(sort(text).sa))
 
 
 def sort(text) -> SuffixArray:
