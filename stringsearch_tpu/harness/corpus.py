@@ -62,19 +62,58 @@ def _zeros_with_noise(rng, n: int, flips: int) -> bytes:
 
 
 def enwik_like(n: int, seed: int = 7) -> bytes:
-    """English-ish Markov text: repetitive, skewed byte histogram — the
-    compressible text class the GB/s targets are defined on (enwik8/9)."""
+    """English-ish Wikipedia-markup text matching enwik8/9's statistics —
+    the compressible text class the GB/s targets are defined on.
+
+    Real enwik8 has a skewed byte histogram, heavy function-word reuse, and
+    an average LCP in the tens of bytes. A tiny fixed vocabulary would be
+    far more repetitive than that (ties at depth 12+ stay near 100%), so
+    the generator draws from a ~600-token Zipf-distributed vocabulary of
+    function words, deterministic pseudo-words, numbers, and wiki markup.
+    Deterministic for a given (n, seed).
+    """
     rng = np.random.default_rng(seed)
-    words = [
+    common = [
         b"the", b"of", b"and", b"in", b"to", b"a", b"is", b"was", b"for",
+        b"as", b"by", b"with", b"on", b"that", b"from", b"at", b"an",
         b"wikipedia", b"article", b"category", b"http", b"reference",
         b"[[", b"]]", b"{{", b"}}", b"==", b"link", b"page", b"&quot;",
+        b"&amp;", b"<ref>", b"</ref>", b"<text", b"</text>", b"|", b"=",
     ]
+    # deterministic pseudo-words: consonant-vowel syllables, 1-4 syllables
+    cons = b"bcdfghjklmnprstvwz"
+    vow = b"aeiou"
+    words = list(common)
+    wr = np.random.default_rng(0xE111)  # fixed: vocabulary independent of seed
+    while len(words) < 600:
+        k = int(wr.integers(1, 5))
+        w = bytearray()
+        for _ in range(k):
+            w.append(cons[int(wr.integers(0, len(cons)))])
+            w.append(vow[int(wr.integers(0, len(vow)))])
+            if wr.random() < 0.3:
+                w.append(cons[int(wr.integers(0, len(cons)))])
+        words.append(bytes(w))
+    # Zipf weights over the vocabulary
+    ranks = np.arange(1, len(words) + 1, dtype=np.float64)
+    p = 1.0 / ranks
+    p /= p.sum()
+    seps = [b"\n", b". ", b", ", b" "]
+    sep_p = np.array([0.02, 0.03, 0.03, 0.92])
     out = bytearray()
+    chunk = max(1024, n // 5)  # tokens per vectorized draw (~6 B/token)
     while len(out) < n:
-        w = words[int(rng.integers(0, len(words)))]
-        out += w
-        out += b" " if rng.random() > 0.1 else b"\n"
+        widx = rng.choice(len(words), size=chunk, p=p)
+        sidx = rng.choice(len(seps), size=chunk, p=sep_p)
+        numbers = rng.random(chunk) < 0.03
+        numvals = rng.integers(0, 10000, size=chunk)
+        parts = []
+        for i in range(chunk):
+            parts.append(
+                str(int(numvals[i])).encode() if numbers[i] else words[int(widx[i])]
+            )
+            parts.append(seps[int(sidx[i])])
+        out += b"".join(parts)
     return bytes(out[:n])
 
 

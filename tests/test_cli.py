@@ -64,3 +64,9 @@ def test_cli_bench_table(sample_file, capsys):
     out = capsys.readouterr().out
     assert "Algorithm" in out and "Average speed" in out
     assert "doubling" in out and "oracle" in out
+
+
+def test_cli_queries(sample_file, capsys):
+    assert main(["queries", sample_file, "--batch", "16", "--reps", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "p50=" in out and "needles/s" in out

@@ -1,0 +1,91 @@
+"""Distributed bitonic merge-split sort (parallel/distsort.py) properties.
+
+The regression this pins: with duplicate keys, the two partners of a
+merge-split comparator must materialize the identical merged list, or
+ties straddling the split are duplicated on one side and dropped on the
+other — exactness of the value multiset is the test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stringsearch_tpu.parallel.distsort import (
+    exclusive_shard_offset,
+    sharded_sort,
+    shift_in_from_prev,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return Mesh(np.array(devs[:8]), ("parts",))
+
+
+def _run_sort(mesh, arrays, num_keys):
+    f = jax.jit(
+        jax.shard_map(
+            lambda *ops: sharded_sort(ops, "parts", num_keys=num_keys),
+            mesh=mesh,
+            in_specs=tuple(P("parts") for _ in arrays),
+            out_specs=tuple(P("parts") for _ in arrays),
+            check_vma=False,
+        )
+    )
+    return [np.asarray(x) for x in f(*map(jnp.asarray, arrays))]
+
+
+@pytest.mark.parametrize("hi", [2, 7, 50, 1 << 20])
+def test_sharded_sort_duplicate_keys(mesh8, hi):
+    rng = np.random.default_rng(hi)
+    n = 8 * 32
+    keys = rng.integers(0, hi, n).astype(np.int32)
+    vals = np.arange(n, dtype=np.int32)
+    ks, vs = _run_sort(mesh8, (keys, vals), 1)
+    assert np.all(np.diff(ks) >= 0)
+    np.testing.assert_array_equal(np.sort(ks), np.sort(keys))
+    # every value appears exactly once and rides with its key
+    np.testing.assert_array_equal(np.sort(vs), vals)
+    np.testing.assert_array_equal(keys[vs], ks)
+
+
+def test_sharded_sort_two_keys_exact(mesh8):
+    rng = np.random.default_rng(3)
+    n = 8 * 16
+    k1 = rng.integers(0, 6, n).astype(np.int32)
+    k2 = rng.integers(0, 6, n).astype(np.int32)
+    idx = np.arange(n, dtype=np.int32)
+    s1, s2, si = _run_sort(mesh8, (k1, k2, idx), 3)  # idx as key -> unique
+    order = np.lexsort((idx, k2, k1))
+    np.testing.assert_array_equal(si, idx[order])
+    np.testing.assert_array_equal(s1, k1[order])
+    np.testing.assert_array_equal(s2, k2[order])
+
+
+def test_exclusive_offset_and_shift(mesh8):
+    n = 8 * 4
+    x = np.arange(n, dtype=np.int32)
+
+    def body(x):
+        local = jnp.sum(x)
+        off = exclusive_shard_offset(local, "parts")
+        prev_last = shift_in_from_prev(x[-1:], "parts", -7)
+        return jnp.full_like(x, off), jnp.broadcast_to(prev_last, x.shape)
+
+    f = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh8, in_specs=P("parts"),
+            out_specs=(P("parts"), P("parts")), check_vma=False,
+        )
+    )
+    offs, prevs = map(np.asarray, f(jnp.asarray(x)))
+    chunks = x.reshape(8, 4)
+    want_offs = np.concatenate([[0], np.cumsum(chunks.sum(1))[:-1]])
+    np.testing.assert_array_equal(offs.reshape(8, 4)[:, 0], want_offs)
+    want_prev = np.concatenate([[-7], chunks[:-1, -1]])
+    np.testing.assert_array_equal(prevs.reshape(8, 4)[:, 0], want_prev)
