@@ -67,18 +67,20 @@ def lcs_kernel(text, sa, needles, steps: int):
     """Batched LCS query. needles: int32 [B, M] padded with PAST_NEEDLE_END.
 
     Returns (start [B], length [B]) int32 — position in text of the longest
-    needle-prefix match and its length.
+    needle-prefix match and its length. `sa` may be a sorted SLICE of a
+    larger suffix array (the sharded global index searches per-shard
+    slices); bounds come from sa's length, window gathers from the text.
     """
-    n = text.shape[0]
+    n_sa = sa.shape[0]
     m_width = needles.shape[-1]
 
     def suffix_windows(pos):
-        starts = jnp.take(sa, jnp.clip(pos, 0, n - 1))
+        starts = jnp.take(sa, jnp.clip(pos, 0, n_sa - 1))
         return cmp.gather_window(text, starts, m_width)
 
     b = needles.shape[0]
     lo = jnp.zeros((b,), jnp.int32)
-    hi = jnp.full((b,), n, jnp.int32)
+    hi = jnp.full((b,), n_sa, jnp.int32)
 
     def body(_, state):
         lo, hi = state
@@ -97,9 +99,9 @@ def lcs_kernel(text, sa, needles, steps: int):
     lcp_l = cmp.prefix_match_len(suffix_windows(left), needles)
     lcp_r = cmp.prefix_match_len(suffix_windows(right), needles)
     lcp_l = jnp.where(left >= 0, lcp_l, -1)
-    lcp_r = jnp.where(right <= n - 1, lcp_r, -1)
+    lcp_r = jnp.where(right <= n_sa - 1, lcp_r, -1)
     take_left = lcp_l >= lcp_r
-    sel = jnp.where(take_left, jnp.clip(left, 0, n - 1), jnp.clip(right, 0, n - 1))
+    sel = jnp.where(take_left, jnp.clip(left, 0, n_sa - 1), jnp.clip(right, 0, n_sa - 1))
     start = jnp.take(sa, sel)
     length = jnp.maximum(jnp.where(take_left, lcp_l, lcp_r), 0)
     return start, length

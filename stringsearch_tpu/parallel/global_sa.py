@@ -210,6 +210,69 @@ class GlobalSuffixArray:
             self._sa_host = full[self.pad :].astype(np.int32)
         return self._sa_host
 
+    def longest_substring_match_batch(self, needles):
+        """Batched LCS query against the sharded global SA — distributed.
+
+        Each shard binary-searches its contiguous slice of the global
+        sorted order against the (replicated) text; the per-shard
+        candidates reduce over ICI with an all-gather + argmax. No device
+        ever materializes the whole SA. Same LCS-of-needle-prefix
+        semantics as the single-device path
+        (ref: crates/sacabase/src/lib.rs:39-99).
+        """
+        from stringsearch_tpu.core import compare as cmp
+        from stringsearch_tpu.core.search import (
+            _ceil_log2,
+            _needle_batch_to_windows,
+            lcs_kernel,
+        )
+        from stringsearch_tpu.core.types import LongestCommonSubstring
+
+        if not needles:
+            return []
+        padded, _lens, width = _needle_batch_to_windows(needles)
+        needles_dev = jnp.asarray(padded)
+        n, mesh, chunk = self.n, self.mesh, self.chunk_len
+        steps = _ceil_log2(chunk + 1) + 1
+        text = self.text_padded
+
+        def per_shard(sa_slice, text_full, nds):
+            start, _ = lcs_kernel(text_full, sa_slice, nds, steps)
+            # recompute true lengths against the text, then mask pad
+            # suffixes (start >= n) and clamp matches at the real end of
+            # text (a \x00-bearing needle must not extend into zero pad)
+            windows = cmp.gather_window(text_full, start[None, :], nds.shape[-1])[0]
+            length = cmp.prefix_match_len(windows, nds)
+            length = jnp.minimum(length, n - start)
+            length = jnp.where(start < n, length, -1)
+            all_len = jax.lax.all_gather(length, _AXIS, axis=0)  # [P, B]
+            all_start = jax.lax.all_gather(start, _AXIS, axis=0)
+            best_p = jnp.argmax(all_len, axis=0)
+            best_len = jnp.maximum(jnp.max(all_len, axis=0), 0)
+            best_start = jnp.take_along_axis(all_start, best_p[None, :], axis=0)[0]
+            return best_start, best_len
+
+        query = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(_AXIS), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+        start, length = query(self._sa_sharded, text, needles_dev)
+        start = np.asarray(start)
+        length = np.asarray(length)
+        host = np.asarray(self.text_padded[: self.n])
+        return [
+            LongestCommonSubstring(host, int(start[i]), int(length[i]))
+            for i in range(len(needles))
+        ]
+
+    def longest_substring_match(self, needle):
+        return self.longest_substring_match_batch([needle])[0]
+
     def to_suffix_array_index(self):
         """Materialize a single-device `SuffixArray` for the query API."""
         from stringsearch_tpu.core.types import SuffixArray

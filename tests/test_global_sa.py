@@ -72,3 +72,18 @@ def test_global_query_api(mesh8):
     m = idx.longest_substring_match(b"the fox jumps")
     assert text[m.start : m.start + m.len] == b"the fox jumps"[: m.len]
     assert m.len == len(b"the fox ")  # diverges at "again" in the text
+
+
+def test_global_distributed_query(mesh8):
+    text = b"it is time, gentlemen; time to go home, time to sleep, time flies"
+    g = build_global(text, mesh8)
+    full = st.build_suffix_array(text)
+    needles = [b"time to", b"gentle", b"sleep, time flies away", b"zzz",
+               b"t", b"\x00weird", text[-7:] + b"overrun"]
+    got = g.longest_substring_match_batch(needles)
+    want = full.longest_substring_match_batch(needles)
+    for nd, a, b in zip(needles, got, want):
+        assert a.len == b.len, nd
+        assert text[a.start : a.start + a.len] == nd[: a.len]
+    single = g.longest_substring_match(b"time fl")
+    assert single.as_bytes() == b"time fl"
