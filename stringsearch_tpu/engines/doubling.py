@@ -9,17 +9,27 @@ reference's trsort already contains a rank-doubling loop over B* suffixes
 re-expressed with data-parallel primitives only. The build is ONE jitted
 program with no host round-trips:
 
-  1. initial ranks from a 6-byte packed radix key (one 2-key sort) — the
-     analog of divsufsort's 2-char bucket radix placement
-     (ref: crates/divsufsort/src/divsufsort.rs:127-161);
+  1. initial ranks from a 24-byte packed radix key (six raw-byte uint32
+     keys, one multi-key sort) — the analog of divsufsort's 2-char bucket
+     radix placement (ref: crates/divsufsort/src/divsufsort.rs:127-161),
+     taken much deeper because on TPU one extra sort key costs ~1/6 of a
+     full extra doubling round (measured on v5e);
   2. full-width doubling rounds — sort by (rank[i], rank[i+h]), assign
      head-slot ranks with a neighbor-diff + cumulative max — inside a
-     lax.while_loop, until at most n/4 positions remain in tied groups;
-  3. compaction (Larsson–Sadakane re-expressed for TPU): the tied-group
-     members move to a static n/4-capacity array; further rounds sort
-     only those, scattering rank/SA updates back into the full arrays —
-     the analog of trsort's sorted-run skipping via negative ISA
-     sentinels (ref: crates/divsufsort/src/trsort.rs:1363-1410).
+     lax.while_loop, until at most n/8 positions remain in tied groups;
+  3. two-level compaction (Larsson–Sadakane re-expressed for TPU): tied
+     group members move to a static n/8-capacity array, then to an
+     n/128-capacity array once few enough; rounds sort only those,
+     scattering rank/SA updates back into the full arrays — the analog
+     of trsort's sorted-run skipping via negative ISA sentinels
+     (ref: crates/divsufsort/src/trsort.rs:1363-1410).
+
+Past-the-end positions take the marker rank -(i+1): negative (before
+every real rank, so a suffix that has ended sorts before every suffix
+that continues) and decreasing in i (so when two suffixes both end
+within the comparison window, the shorter — larger i — sorts first).
+This lets the initial keys pack four RAW bytes per uint32 word (zero
+padding) instead of biasing each byte to 9 bits.
 
 Ranks are "head-slot" ranks — the SA slot index of the group's first
 element — so a compacted element's global SA slot is
