@@ -9,27 +9,38 @@ reference's trsort already contains a rank-doubling loop over B* suffixes
 re-expressed with data-parallel primitives only. The build is ONE jitted
 program with no host round-trips:
 
-  1. initial ranks from a 24-byte packed radix key (six raw-byte uint32
-     keys, one multi-key sort) — the analog of divsufsort's 2-char bucket
-     radix placement (ref: crates/divsufsort/src/divsufsort.rs:127-161),
-     taken much deeper because on TPU one extra sort key costs ~1/6 of a
-     full extra doubling round (measured on v5e);
+  1. initial ranks from a `depth`-byte packed radix key (depth/4 raw-byte
+     uint32 keys, one multi-key sort; default depth 24) — the analog of
+     divsufsort's 2-char bucket radix placement
+     (ref: crates/divsufsort/src/divsufsort.rs:127-161), taken much deeper
+     because on TPU one extra sort key costs far less than a full extra
+     doubling round (microbench-measured on v5e: a 6-key sort is ~1.6x a
+     1-key sort, while every avoided round saves 2 full-width sorts). On
+     enwik-class text a 24-byte key leaves <1% of positions tied, so the
+     build is typically ONE full-width sort plus small compacted rounds;
   2. full-width doubling rounds — sort by (rank[i], rank[i+h]), assign
      head-slot ranks with a neighbor-diff + cumulative max — inside a
-     lax.while_loop, until at most n/8 positions remain in tied groups;
+     lax.while_loop, only while more than n/4 positions remain tied
+     (adversarial inputs: long runs, tiny alphabets);
   3. two-level compaction (Larsson–Sadakane re-expressed for TPU): tied
-     group members move to a static n/8-capacity array, then to an
-     n/128-capacity array once few enough; rounds sort only those,
+     group members move to a static n/4-capacity array, then to an
+     n/64-capacity array once few enough; rounds sort only those,
      scattering rank/SA updates back into the full arrays — the analog
      of trsort's sorted-run skipping via negative ISA sentinels
      (ref: crates/divsufsort/src/trsort.rs:1363-1410).
 
-Past-the-end positions take the marker rank -(i+1): negative (before
-every real rank, so a suffix that has ended sorts before every suffix
-that continues) and decreasing in i (so when two suffixes both end
-within the comparison window, the shorter — larger i — sorts first).
-This lets the initial keys pack four RAW bytes per uint32 word (zero
-padding) instead of biasing each byte to 9 bits.
+Initial keys pack four RAW bytes per uint32 word with ZERO padding past
+the text end. Zero padding is order-safe: the pad byte 0 is minimal, so
+a padded (ended) suffix never sorts after a continuing one at the same
+prefix. It does conflate "suffix ended" with "real 0x00 byte", so
+initial ranks are not exact depth-`depth` classes for suffixes shorter
+than `depth`; the doubling rounds repair this with the past-the-end
+marker rank -(i+1) (`_shift_ranks`): negative (below every real rank)
+and strictly decreasing in i, so any set of ended suffixes splits
+completely — shortest first — at the first round that reaches them.
+Because of the conflation the loops must not stop at h >= n on a count
+basis alone would suggest; `h` saturates at n, where a final marker
+round always resolves every remaining tie.
 
 Ranks are "head-slot" ranks — the SA slot index of the group's first
 element — so a compacted element's global SA slot is
@@ -60,14 +71,26 @@ def _sent(idx) -> jnp.ndarray:
     return jnp.asarray(np.iinfo(np.dtype(idx)).max, idx)
 
 
-def _pack3(t: jnp.ndarray, off: int) -> jnp.ndarray:
-    """Three biased bytes starting at `off` packed into 27 bits."""
-    n = t.shape[0] - 6  # t is the text padded with 6 zero sentinels
-    return (
-        (jax.lax.dynamic_slice_in_dim(t, off, n) << 18)
-        | (jax.lax.dynamic_slice_in_dim(t, off + 1, n) << 9)
-        | jax.lax.dynamic_slice_in_dim(t, off + 2, n)
-    )
+def _pack4_keys(text: jnp.ndarray, depth: int) -> tuple:
+    """depth/4 uint32 keys of four RAW text bytes each, zero-padded.
+
+    Raw-byte packing (vs. the 9-bit-biased alternative) fits 4 bytes per
+    word; the zero pad is order-safe (see module docstring). uint32 keeps
+    byte 0 in the top bits from flipping the sign under lax.sort.
+    """
+    n = text.shape[0]
+    t = jnp.concatenate([text.astype(jnp.uint32),
+                         jnp.zeros((depth,), jnp.uint32)])
+    keys = []
+    for k in range(depth // 4):
+        o = 4 * k
+        keys.append(
+            (t[o : o + n] << 24)
+            | (t[o + 1 : o + 1 + n] << 16)
+            | (t[o + 2 : o + 2 + n] << 8)
+            | t[o + 3 : o + 3 + n]
+        )
+    return tuple(keys)
 
 
 def _scatter_to_text_order(sa, rank_s):
@@ -82,14 +105,22 @@ def _scatter_to_text_order(sa, rank_s):
 
 
 def _shift_ranks(rank, h):
-    """rank_h[i] = rank[i+h] with -1 past the end — a shift, not a gather.
+    """rank_h[i] = rank[i+h], or the marker -(i+1) past the end.
 
-    h is traced; the concat+dynamic-slice form keeps it a contiguous copy
-    (the `jnp.take(rank, iota+h)` form costs a full random-gather pass on
-    TPU, ~2x the price of the sort itself at n=2^24).
+    The marker is negative (an ended suffix sorts before every continuing
+    one) and strictly decreasing in i (two suffixes that both end within
+    the window split immediately, shorter first) — required because the
+    zero-padded raw-byte initial keys conflate "suffix ended" with "real
+    0x00 byte" (see module docstring). h is traced; the concat +
+    dynamic-slice form keeps the shift a contiguous copy (the
+    `jnp.take(rank, iota+h)` form costs a full random-gather pass on TPU,
+    ~2x the price of the sort itself at n=2^24).
     """
     n = rank.shape[0]
-    ext = jnp.concatenate([rank, jnp.full((n,), -1, rank.dtype)])
+    j = jnp.arange(n, dtype=rank.dtype)
+    # tail slot k (global index n+k) is read by i = n+k-h: marker -(i+1)
+    tail = -(jnp.asarray(n, rank.dtype) + j - jnp.asarray(h, rank.dtype) + 1)
+    ext = jnp.concatenate([rank, tail])
     return jax.lax.dynamic_slice_in_dim(ext, h, n)
 
 
@@ -101,17 +132,17 @@ def _heads_and_tied(new_flag_bool, j):
     return head, tied
 
 
-def _initial_full(text, idx=_I32):
-    """6-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
+def _initial_full(text, idx=_I32, depth: int = 24):
+    """`depth`-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
     n = text.shape[0]
-    t = jnp.concatenate([text.astype(_I32) + 1, jnp.zeros((6,), _I32)])
-    key1 = _pack3(t, 0)
-    key2 = _pack3(t, 3)
+    keys = _pack4_keys(text, depth)
     j = jnp.arange(n, dtype=idx)
-    k1s, k2s, sa_s = jax.lax.sort((key1, key2, j), num_keys=2)
-    new_flag = jnp.concatenate(
-        [jnp.ones((1,), bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
-    )
+    out = jax.lax.sort(keys + (j,), num_keys=len(keys))
+    sa_s = out[-1]
+    diff = jnp.zeros((max(n - 1, 0),), bool)
+    for ks in out[:-1]:
+        diff = diff | (ks[1:] != ks[:-1])
+    new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), diff])
     rank_s, tied = _heads_and_tied(new_flag, j)
     rank = _scatter_to_text_order(sa_s, rank_s)
     return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
@@ -160,7 +191,12 @@ def _compact_round(g, pos, rank, sa, h, idx=_I32):
     sent = _sent(idx)
     j = jnp.arange(m, dtype=idx)
     ph = pos + h
-    key2 = jnp.where(ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -1)
+    # past-the-end marker -(pos+1): distinct and decreasing, so suffixes
+    # ending within the window split immediately (shorter first) — same
+    # protocol as _shift_ranks
+    key2 = jnp.where(
+        ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -(pos + 1)
+    )
     g_s, k2_s, pos_s = jax.lax.sort((g, key2, pos), num_keys=3)
     group_f = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
     run_f = group_f | jnp.concatenate(
@@ -181,25 +217,43 @@ def _compact_round(g, pos, rank, sa, h, idx=_I32):
     return g_next, pos_next, rank, sa, count
 
 
-@partial(jax.jit, static_argnames=("idx",))
-def build_with_isa(text: jnp.ndarray, idx=_I32):
+def _shrink(g, pos, m2: int):
+    """Re-compact level-1 arrays into level-2 capacity (pads sort last).
+
+    Caller guarantees the live (non-pad) count is <= m2; resolved entries
+    were already blanked to (sent, n) pads by `_compact_round`.
+    """
+    g2, p2 = jax.lax.sort((g, pos), num_keys=2)
+    return g2[:m2], p2[:m2]
+
+
+@partial(jax.jit, static_argnames=("idx", "depth"))
+def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
-    One device program: full doubling rounds in a while_loop until the
-    tied count drops to n/4, one extraction into a static n/4-capacity
-    buffer, then compacted rounds in a second while_loop until every
-    group is a singleton. `isa` (the final head-slot ranks = inverse
+    One device program: a `depth`-byte initial sort, full doubling rounds
+    in a while_loop only while more than n/4 positions stay tied, then
+    two compaction levels (n/4-capacity, then n/64-capacity) whose rounds
+    sort only the tied-group members. On text-like input the full-round
+    loop never executes and the level-1 loop usually doesn't either, so
+    the build is one deep sort + one rank scatter + two extractions +
+    tiny level-2 rounds. `isa` (the final head-slot ranks = inverse
     suffix array) comes for free and feeds verification and LCP work.
     """
     n = text.shape[0]
+    if depth % 4 or depth < 4:
+        raise ValueError("depth must be a positive multiple of 4")
     n_i = jnp.asarray(n, idx)
-    rank0, sa0, rank_s0, count0 = _initial_full(text, idx)
+    rank0, sa0, rank_s0, count0 = _initial_full(text, idx, depth)
     threshold = n // 4
-    h0 = jnp.minimum(jnp.asarray(6, idx), n_i)
+    h0 = jnp.minimum(jnp.asarray(depth, idx), n_i)
 
     def cond1(st):
         _rank, _sa, _rank_s, h, count = st
-        return (count > threshold) & (h < n_i)
+        # no `h < n` guard: conflated initial ranks (raw-byte zero pad)
+        # mean short suffixes may need the h == n marker round to split;
+        # that round always zeroes the count, so this terminates
+        return count > threshold
 
     def body1(st):
         rank, _sa, _rank_s, h, _count = st
@@ -210,22 +264,46 @@ def build_with_isa(text: jnp.ndarray, idx=_I32):
         cond1, body1, (rank0, sa0, rank_s0, h0, count0)
     )
 
-    m = max(n // 4, 1)
-    g0, pos0 = _extract(rank_s, sa, m, idx)
+    m1 = max(n // 4, 1)
+    m2 = min(n, max(n // 64, 64), m1)
 
-    def cond2(st):
-        _g, _pos, _rank, _sa, h, count = st
-        return (count > 0) & (h < n_i)
+    def resolved(args):
+        rank, sa, _rank_s, _h, _count = args
+        return sa, rank
 
-    def body2(st):
-        g, pos, rank, sa, h, _count = st
-        g, pos, rank, sa, count = _compact_round(g, pos, rank, sa, h, idx)
-        return g, pos, rank, sa, jnp.minimum(h + h, n_i), count
+    def compact_tail(args):
+        rank, sa, rank_s, h, count = args
+        # level 1: n/4 capacity, rounds only while too big for level 2
+        g1, pos1 = _extract(rank_s, sa, m1, idx)
 
-    _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
-        cond2, body2, (g0, pos0, rank, sa, h, count)
+        def cond_l1(st):
+            _g, _pos, _rank, _sa, h, count = st
+            return count > m2
+
+        def body(st):
+            g, pos, rank, sa, h, _count = st
+            g, pos, rank, sa, count = _compact_round(g, pos, rank, sa, h, idx)
+            return g, pos, rank, sa, jnp.minimum(h + h, n_i), count
+
+        g1, pos1, rank, sa, h, count = jax.lax.while_loop(
+            cond_l1, body, (g1, pos1, rank, sa, h, count)
+        )
+
+        # level 2: n/64 capacity (count <= m2 guaranteed by cond_l1)
+        g2, pos2 = _shrink(g1, pos1, m2)
+
+        def cond_l2(st):
+            _g, _pos, _rank, _sa, h, count = st
+            return count > 0
+
+        _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
+            cond_l2, body, (g2, pos2, rank, sa, h, count)
+        )
+        return sa, rank
+
+    return jax.lax.cond(
+        count == 0, resolved, compact_tail, (rank, sa, rank_s, h, count)
     )
-    return sa, rank
 
 
 def build_adaptive(text: jnp.ndarray):
@@ -238,9 +316,12 @@ def build_adaptive(text: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
+_TRACE_DEPTH = 8  # shallow initial so traces show the doubling rounds
+
+
 @jax.jit
 def _initial_rank_jit(text):
-    rank, sa_s, _rank_s, count = _initial_full(text)
+    rank, sa_s, _rank_s, count = _initial_full(text, depth=_TRACE_DEPTH)
     return rank, sa_s, count == 0
 
 
@@ -267,9 +348,9 @@ def sort_traced(text, tracer) -> "SuffixArray":
         tracer.flush()
         return sa
     rank, sa, done = _initial_rank_jit(arr)
-    tracer.dump("rank h=6 (6-byte radix)", rank)
-    tracer.dump("SA h=6", sa)
-    h = 6
+    tracer.dump(f"rank h={_TRACE_DEPTH} ({_TRACE_DEPTH}-byte radix)", rank)
+    tracer.dump(f"SA h={_TRACE_DEPTH}", sa)
+    h = _TRACE_DEPTH
     while not bool(done) and h < n:
         rank, sa, done = _round_jit(rank, jnp.int32(h))
         h *= 2
@@ -285,6 +366,17 @@ def sort_in_place(text, sa_out: np.ndarray) -> None:
     """Fill a caller-provided int32 buffer (ref API shape:
     crates/divsufsort/src/lib.rs:20-22)."""
     np.copyto(sa_out, np.asarray(sort(text).sa))
+
+
+def _auto_depth(n: int) -> int:
+    """Initial-key depth by input size: deep keys win on text-like input,
+    but each extra uint32 key is an extra n-length sort operand, so cap
+    the live-memory footprint for very large single-chip builds."""
+    if n <= (1 << 25):
+        return 24
+    if n <= (1 << 27):
+        return 16
+    return 12
 
 
 def sort(text) -> SuffixArray:
@@ -307,5 +399,5 @@ def sort(text) -> SuffixArray:
         # equal first bytes → the shorter suffix (position 1) sorts first
         sa = [0, 1] if host[0] < host[1] else [1, 0]
         return SuffixArray(arr, np.asarray(sa, np.int32))
-    sa, _isa = build_with_isa(arr)
+    sa, _isa = build_with_isa(arr, depth=_auto_depth(n))
     return SuffixArray(arr, sa)

@@ -1,0 +1,184 @@
+"""Measured op-cost table + build-phase profiler for the doubling engine.
+
+This regenerates (and extends) the README op-cost table that drives the
+engine's design decisions (lax.sort vs scatter vs gather trade-offs), and
+profiles where wall-clock goes inside `build_with_isa` — phase by phase,
+round by round — so perf work has a reproducible footing.
+
+Run on whatever the default JAX device is (the real TPU chip under axon,
+or CPU for smoke):
+
+    python -m stringsearch_tpu.harness.microbench ops --n 24
+    python -m stringsearch_tpu.harness.microbench phases --n 24
+
+Reference analog: the divsuftest `bench` harness measures engine-level
+bytes/s only (ref: crates/divsuftest/src/main.rs:123-190); this goes one
+level deeper because on TPU the design question is *which primitive* to
+spend HBM bandwidth on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps: int = 5) -> float:
+    """Median wall time of fn(*args) with device sync, in seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    # force execution: reduce the first array leaf to a host scalar
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(jnp.max(leaf)))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(jnp.max(leaf)))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def op_costs(log_n: int, reps: int = 5) -> dict:
+    """Cost table for the primitives the engine is built from."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << log_n
+    key = jax.random.PRNGKey(0)
+    r32 = jax.random.randint(key, (n,), 0, n, dtype=jnp.int32)
+    r32b = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, n, jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
+    perm = jax.random.permutation(jax.random.PRNGKey(2), n).astype(jnp.int32)
+
+    results = {}
+
+    def add(name, fn, *args):
+        results[name] = _timeit(jax.jit(fn), *args, reps=reps)
+
+    add("sort_1key_1op", lambda a: jax.lax.sort((a,), num_keys=1)[0], r32)
+    add("sort_1key_2op",
+        lambda a, b: jax.lax.sort((a, b), num_keys=1), r32, j)
+    add("sort_1key_3op",
+        lambda a, b, c: jax.lax.sort((a, b, c), num_keys=1), r32, r32b, j)
+    add("sort_2key_3op",
+        lambda a, b, c: jax.lax.sort((a, b, c), num_keys=2), r32, r32b, j)
+    add("sort_3key_3op",
+        lambda a, b, c: jax.lax.sort((a, b, c), num_keys=3), r32, r32b, j)
+    add("gather", lambda a, p: jnp.take(a, p), r32, perm)
+    add("scatter_set", lambda a, p: jnp.zeros_like(a).at[p].set(a), r32, perm)
+    add("scatter_via_sort",
+        lambda p, v: jax.lax.sort((p, v), num_keys=1)[1], perm, r32)
+    add("cummax", jax.lax.cummax, r32)
+    add("cumsum", jnp.cumsum, r32)
+    add("shift_concat_slice",
+        lambda a: jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([a, jnp.full((n,), -1, a.dtype)]), 8, n),
+        r32)
+    add("elementwise_3in",
+        lambda a, b, c: jnp.where(a > b, c, a + b), r32, r32b, j)
+    # i64 single-key sort (packed-key rounds candidate)
+    if jax.config.read("jax_enable_x64"):
+        r64 = r32.astype(jnp.int64) * n + r32b.astype(jnp.int64)
+        add("sort_1key_2op_i64",
+            lambda a, b: jax.lax.sort((a, b), num_keys=1), r64, j)
+    # f32 single-key sort (bit-packed key candidate: 2x24-bit ranks)
+    rf = jax.lax.bitcast_convert_type(r32, jnp.float32)
+    add("sort_1key_2op_f32_bitcast",
+        lambda a, b: jax.lax.sort((a, b), num_keys=1), rf, j)
+    return results
+
+
+def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
+    """Per-phase timing + round counts of build_with_isa on enwik text."""
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines import doubling as D
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    n = 1 << log_n
+    text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
+
+    init = jax.jit(D._initial_full, static_argnames=("depth",))
+    full = jax.jit(D._full_round)
+    extract = jax.jit(D._extract, static_argnums=(2,))
+    shrink = jax.jit(D._shrink, static_argnums=(2,))
+    compact = jax.jit(D._compact_round)
+
+    out = {"n": n, "depth": depth}
+    out["t_initial"] = _timeit(init, text, depth=depth, reps=reps)
+    rank, sa_s, rank_s, count = init(text, depth=depth)
+    counts = [int(count)]
+    t_full = []
+    h = depth
+    threshold = n // 4
+    while counts[-1] > threshold and h < n:
+        t_full.append(_timeit(full, rank, jnp.asarray(h, jnp.int32),
+                              reps=reps))
+        rank, sa_s, rank_s, count = full(rank, jnp.asarray(h, jnp.int32))
+        counts.append(int(count))
+        h *= 2
+    out["full_rounds"] = len(t_full)
+    out["t_full_each"] = [round(t, 4) for t in t_full]
+    out["tied_counts"] = counts
+    m1 = max(n // 4, 1)
+    m2 = min(n, max(n // 64, 64), m1)
+    out["t_extract_l1"] = _timeit(extract, rank_s, sa_s, m1, reps=reps)
+    g, pos = extract(rank_s, sa_s, m1)
+    sa = sa_s
+    t_comp = []
+    comp_counts = []
+    while int(count) > m2 and h < n:
+        t_comp.append(_timeit(
+            compact, g, pos, rank, sa, jnp.asarray(h, jnp.int32), reps=reps))
+        g, pos, rank, sa, count = compact(
+            g, pos, rank, sa, jnp.asarray(h, jnp.int32))
+        comp_counts.append(int(count))
+        h *= 2
+    out["l1_rounds"] = len(t_comp)
+    out["t_l1_each"] = [round(t, 4) for t in t_comp]
+    out["t_shrink_l2"] = _timeit(shrink, g, pos, m2, reps=reps)
+    g, pos = shrink(g, pos, m2)
+    t2 = []
+    while int(count) > 0 and h < n:
+        t2.append(_timeit(
+            compact, g, pos, rank, sa, jnp.asarray(h, jnp.int32), reps=reps))
+        g, pos, rank, sa, count = compact(
+            g, pos, rank, sa, jnp.asarray(h, jnp.int32))
+        comp_counts.append(int(count))
+        h *= 2
+    out["l2_rounds"] = len(t2)
+    out["t_l2_each"] = [round(t, 4) for t in t2]
+    out["compact_tied_counts"] = comp_counts
+    out["t_total_fused"] = _timeit(
+        lambda t: D.build_with_isa(t, depth=depth)[0], text, reps=reps)
+    out["bytes_per_s_fused"] = round(n / out["t_total_fused"], 1)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="microbench")
+    p.add_argument("mode", choices=["ops", "phases"])
+    p.add_argument("--n", type=int, default=24, help="log2 of element count")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--depth", type=int, default=24, help="initial key bytes")
+    args = p.parse_args()
+    if args.mode == "ops":
+        res = op_costs(args.n, args.reps)
+        for k, v in res.items():
+            print(f"{k:28s} {v * 1e3:10.3f} ms")
+        print(json.dumps({"log_n": args.n, **{k: round(v, 5) for k, v in res.items()}}))
+    else:
+        res = phase_profile(args.n, args.reps, args.depth)
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
