@@ -97,7 +97,7 @@ def command_queries(args) -> int:
     over a batch of needles sampled from the text (plus misses) and
     reports p50/p95 batch latency and per-needle throughput.
     """
-    import stringsearch_tpu as st
+    from stringsearch_tpu.engines import get_engine
 
     data = _load_input(args.input, args.length)
     batch = args.batch
@@ -109,7 +109,7 @@ def command_queries(args) -> int:
         else:
             start = int(rng.integers(0, max(1, len(data) - 64)))
             needles.append(data[start : start + int(rng.integers(4, 64))])
-    sa = st.build_suffix_array(data)
+    sa = get_engine(args.engine)(data)
     sa.longest_substring_match_batch(needles)  # warmup/compile
     times = []
     for _ in range(args.reps):
@@ -181,7 +181,9 @@ def main(argv=None) -> int:
     ap.add_argument("command", choices=["crosscheck", "bench", "run", "queries"])
     ap.add_argument("input", help="input file")
     ap.add_argument("length", nargs="?", default=None, help="size cap (k/m/g suffixes)")
-    ap.add_argument("--engine", default="doubling", help="engine for `run`")
+    ap.add_argument(
+        "--engine", default="doubling", help="engine for `run` / `queries`"
+    )
     ap.add_argument("--engines", default=None, help="comma list for bench/crosscheck")
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--verify", action="store_true", help="verify after `run`")
@@ -194,6 +196,14 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    elif args.device == "tpu":
+        import jax
+
+        accels = [d for d in jax.devices() if d.platform != "cpu"]
+        if not accels:
+            print("--device tpu: no accelerator devices available", file=sys.stderr)
+            return 2
+        jax.config.update("jax_default_device", accels[0])
 
     if args.command == "run":
         return command_run(args)

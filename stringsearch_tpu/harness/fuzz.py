@@ -3,14 +3,31 @@
 Capability parity: the reference fuzzes `sort(arbitrary bytes)` with
 libFuzzer and commits minimized crashers back into the regression corpus
 (ref: crates/divsufsort/fuzz/fuzz_targets/fuzz_target_1.rs:4-6; corpus at
-crates/divsufsort/src/testdata/, crash-<hash> naming).
+crates/divsufsort/src/testdata/, crash-<hash> naming; replay at
+crates/divsufsort/src/lib.rs:31-92 — our replay is
+tests/test_corpus_replay.py over tests/corpus/).
 
-Here each iteration generates adversarial bytes (mutation strategies biased
+Each iteration generates adversarial bytes (mutation strategies biased
 toward SACA-breaking patterns: runs, repeats, low alphabets, splices),
-sorts with the TPU engine(s), verifies on-device, and crosschecks
-byte-exact against the C++ oracle. Failures are shrunk by greedy bisection
-and written to fuzz-crashes/crash-<sha1>, matching the reference's naming
-convention.
+then exercises the selected targets:
+
+  * engines      — sort with each engine, verify on-device, crosscheck
+                   byte-exact against the C++ oracle;
+  * partitioned  — PartitionedSuffixArray queries (2..4 partitions) must
+                   return full-index-equivalent match lengths (this build
+                   repairs boundary matches, so equality is exact);
+  * global       — the distributed exact global SA over a virtual device
+                   mesh, byte-exact vs the oracle.
+
+Input lengths are drawn from a fixed per-run pool (adversarial small
+sizes + random sizes) rather than uniformly: every distinct length is a
+fresh XLA compile, so a pool keeps 10k-iteration campaigns from spending
+all their time in the compiler while still covering odd/prime/boundary
+lengths.
+
+Failures are shrunk by greedy bisection and written to
+fuzz-crashes/crash-<sha1>, matching the reference's naming convention;
+commit survivors under tests/corpus/ so CI replays them forever.
 
 Run: python -m stringsearch_tpu.harness.fuzz --iters 200 --device cpu
 """
@@ -25,9 +42,22 @@ import time
 
 import numpy as np
 
+# always-in-pool adversarial lengths: tiny, power-of-two straddles, and
+# the reference corpus's size neighborhood (17 B - 4.7 KB crashers)
+_FIXED_LENS = (
+    1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65,
+    100, 127, 128, 129, 255, 256, 257, 511, 512, 1000, 1023, 1024,
+    2047, 2048,
+)
 
-def _mutate(rng: np.random.Generator, max_len: int) -> bytes:
-    n = int(rng.integers(1, max_len))
+
+def _length_pool(rng: np.random.Generator, max_len: int, extra: int = 32):
+    pool = [n for n in _FIXED_LENS if n <= max_len]
+    pool += [int(n) for n in rng.integers(1, max_len + 1, extra)]
+    return sorted(set(pool))
+
+
+def _mutate(rng: np.random.Generator, n: int) -> bytes:
     strategy = int(rng.integers(0, 6))
     if strategy == 0:  # uniform random
         return bytes(rng.integers(0, 256, n, dtype=np.uint8))
@@ -44,8 +74,9 @@ def _mutate(rng: np.random.Generator, max_len: int) -> bytes:
             arr[int(rng.integers(0, n))] = int(rng.integers(0, 256))
         return bytes(arr)
     if strategy == 4:  # splice of two periodic regions
-        a = _mutate(rng, max(n // 2, 2))
-        b = _mutate(rng, max(n // 2, 2))
+        h = max(n // 2, 1)
+        a = _mutate(rng, h)
+        b = _mutate(rng, n - h) if n > h else b""
         return (a + b)[:n]
     # near-sorted bytes
     arr = np.sort(rng.integers(0, 256, n, dtype=np.uint8))
@@ -54,8 +85,8 @@ def _mutate(rng: np.random.Generator, max_len: int) -> bytes:
     return bytes(arr)
 
 
-def _check(data: bytes, engines) -> str | None:
-    """Returns an error string or None."""
+def _check_engines(data: bytes, engines) -> str | None:
+    """Differential check vs the C++ oracle. Returns error string or None."""
     from stringsearch_tpu import oracle
     from stringsearch_tpu.core.types import NotSorted
     from stringsearch_tpu.engines import get_engine
@@ -74,7 +105,76 @@ def _check(data: bytes, engines) -> str | None:
     return None
 
 
-def _shrink(data: bytes, engines) -> bytes:
+def _check_partitioned(data: bytes, rng: np.random.Generator) -> str | None:
+    """Partitioned queries must match the full index (repair is exact)."""
+    from stringsearch_tpu import PartitionedSuffixArray, build_suffix_array
+
+    if len(data) < 4:
+        return None
+    full = build_suffix_array(data)
+    nparts = int(rng.choice([2, 3, 4]))
+    part = PartitionedSuffixArray(data, nparts)
+    needles = []
+    for _ in range(4):
+        s = int(rng.integers(0, len(data)))
+        e = min(len(data), s + int(rng.integers(1, 48)))
+        needles.append(data[s:e])
+    needles.append(bytes(rng.integers(0, 256, 8, dtype=np.uint8)))
+    for nd in needles:
+        got = part.longest_substring_match(nd)
+        want = full.longest_substring_match(nd)
+        if got.len != want.len:
+            return (
+                f"partitioned({nparts}) len {got.len} != full {want.len} "
+                f"for needle {nd[:16]!r}"
+            )
+        if data[got.start : got.start + got.len] != nd[: got.len]:
+            return f"partitioned({nparts}) match bytes wrong for {nd[:16]!r}"
+    return None
+
+
+def _check_global(data: bytes, mesh) -> str | None:
+    """Distributed exact global SA vs the oracle."""
+    from stringsearch_tpu import oracle
+    from stringsearch_tpu.parallel.global_sa import build_global
+
+    want = oracle.build(data)
+    got = np.asarray(build_global(data, mesh).suffix_array())
+    if not np.array_equal(got, want):
+        return "global SA mismatch vs oracle"
+    return None
+
+
+def _make_mesh():
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu") if any(
+        d.platform == "cpu" for d in jax.devices()
+    ) else jax.devices()
+    n = len(devs)
+    while n & (n - 1):
+        n -= 1
+    return Mesh(np.array(devs[:n]), ("parts",))
+
+
+def _check(data: bytes, engines, targets, rng, mesh) -> str | None:
+    if "engines" in targets:
+        err = _check_engines(data, engines)
+        if err:
+            return err
+    if "partitioned" in targets:
+        err = _check_partitioned(data, rng)
+        if err:
+            return err
+    if "global" in targets and mesh is not None:
+        err = _check_global(data, mesh)
+        if err:
+            return err
+    return None
+
+
+def _shrink(data: bytes, engines, targets, rng, mesh) -> bytes:
     """Greedy bisection shrink of a failing input."""
     changed = True
     while changed and len(data) > 1:
@@ -83,7 +183,7 @@ def _shrink(data: bytes, engines) -> bytes:
             if cut == 0:
                 continue
             for cand in (data[cut:], data[:-cut]):
-                if cand and _check(cand, engines) is not None:
+                if cand and _check(cand, engines, targets, rng, mesh) is not None:
                     data = cand
                     changed = True
                     break
@@ -98,6 +198,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-len", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--engines", default="doubling")
+    ap.add_argument(
+        "--targets",
+        default="engines",
+        help="comma list: engines,partitioned,global",
+    )
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--out", default="fuzz-crashes")
     args = ap.parse_args(argv)
@@ -110,23 +215,33 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time())
     rng = np.random.default_rng(seed)
     engines = args.engines.split(",")
-    print(f"fuzzing engines={engines} seed={seed} iters={args.iters}")
+    targets = set(args.targets.split(","))
+    mesh = _make_mesh() if "global" in targets else None
+    lens = _length_pool(rng, args.max_len)
+    print(
+        f"fuzzing targets={sorted(targets)} engines={engines} seed={seed} "
+        f"iters={args.iters} length-pool={len(lens)}",
+        flush=True,
+    )
 
     failures = 0
     for i in range(args.iters):
-        data = _mutate(rng, args.max_len)
-        err = _check(data, engines)
+        n = int(rng.choice(lens))
+        data = _mutate(rng, n)
+        err = _check(data, engines, targets, rng, mesh)
         if err is not None:
             failures += 1
-            shrunk = _shrink(data, engines)
+            shrunk = _shrink(data, engines, targets, rng, mesh)
             digest = hashlib.sha1(shrunk).hexdigest()
             os.makedirs(args.out, exist_ok=True)
             path = os.path.join(args.out, f"crash-{digest}")
             with open(path, "wb") as f:
                 f.write(shrunk)
-            print(f"[{i}] FAILURE: {err} -> shrunk to {len(shrunk)}B at {path}")
+            print(f"[{i}] FAILURE: {err} -> shrunk to {len(shrunk)}B at {path}",
+                  flush=True)
         if (i + 1) % 25 == 0:
-            print(f"[{i + 1}/{args.iters}] ok so far, {failures} failures")
+            print(f"[{i + 1}/{args.iters}] ok so far, {failures} failures",
+                  flush=True)
     print(f"done: {args.iters} iterations, {failures} failures")
     return 1 if failures else 0
 

@@ -3,16 +3,25 @@
 BASELINE.json's north star includes ">= 80% scaling efficiency at 2+
 hosts". The reference has no distributed story to compare against (rayon
 threads only, ref: crates/sacapart/src/lib.rs:45-51); this harness defines
-the measurement for the TPU build: partitioned SA construction sharded
-over the mesh's "parts" axis (parallel/mesh.py), timed at 1, 2, 4, ... P
-shards with throughput in B/s and efficiency = (bps_k / bps_1) / k.
+the measurement for the TPU build, for BOTH distributed build modes:
+
+  * `--mode partitioned` — independent per-shard SAs (parallel/mesh.py),
+    zero communication: the embarrassingly-parallel upper bound;
+  * `--mode global` (default) — the exact global SA (parallel/global_sa.py),
+    whose per-round bitonic merge-split over ICI is where the >= 80%
+    efficiency target is actually at risk. This is the number BASELINE
+    means.
+
+Both time a fixed-size input at 1, 2, 4, ... P shards with throughput in
+B/s and efficiency = (bps_k / bps_1) / k.
 
 Run on however many devices the backend exposes:
   python -m stringsearch_tpu.harness.scaling 4m            # real TPU devices
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python -m stringsearch_tpu.harness.scaling 1m        # virtual 8-dev mesh
-On a multi-host slice, initialize `jax.distributed` first; the same
-shard_map code rides ICI within a slice and DCN across hosts.
+On a multi-host slice, initialize `jax.distributed` first (see
+parallel/multihost.py); the same shard_map code rides ICI within a slice
+and DCN across hosts.
 """
 
 from __future__ import annotations
@@ -27,7 +36,10 @@ from stringsearch_tpu.utils.sizes import format_throughput, parse_size
 
 
 def measure(
-    size: int, reps: int = 3, backend: str | None = None
+    size: int,
+    reps: int = 3,
+    backend: str | None = None,
+    mode: str = "global",
 ) -> list[tuple[int, float, float]]:
     import jax
     import jax.numpy as jnp
@@ -41,17 +53,27 @@ def measure(
     def sync(x):
         np.asarray(jnp.max(x))
 
+    def one_partitioned(mesh):
+        _chunks, sas, _lens = build_sharded(text, mesh)
+        sync(sas)
+
+    def one_global(mesh):
+        from stringsearch_tpu.parallel.global_sa import GlobalSuffixArray
+
+        g = GlobalSuffixArray(text, mesh)  # _build runs in the constructor
+        sync(g._sa_sharded)
+
+    one = one_global if mode == "global" else one_partitioned
+
     rows = []
     k = 1
     while k <= len(devs):
         mesh = make_mesh(k, batch_axis=1, devices=devs)
-        chunks, sas, _lens = build_sharded(text, mesh)  # warmup/compile
-        sync(sas)
+        one(mesh)  # warmup/compile (jitted programs are lru-cached)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            chunks, sas, _lens = build_sharded(text, mesh)
-            sync(sas)
+            one(mesh)
             times.append(time.perf_counter() - t0)
         dt = min(times)
         rows.append((k, dt, size / dt))
@@ -64,6 +86,13 @@ def main(argv=None) -> int:
     ap.add_argument("size", nargs="?", default="4m", help="input size (k/m/g)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument(
+        "--mode",
+        default="global",
+        choices=["global", "partitioned"],
+        help="global = exact global SA (communication-bound; the BASELINE "
+        "number); partitioned = independent per-shard SAs (upper bound)",
+    )
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -72,8 +101,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     size = parse_size(args.size)
-    rows = measure(size, args.reps, backend=args.device)
+    rows = measure(size, args.reps, backend=args.device, mode=args.mode)
     base = rows[0][2]
+    print(f"mode: {args.mode}")
     print(f"{'Shards':>6}  {'Time':>9}  {'Throughput':>14}  {'Efficiency':>10}")
     for k, dt, bps in rows:
         eff = bps / (base * k)

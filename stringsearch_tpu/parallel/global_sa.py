@@ -6,15 +6,32 @@ per-partition SAs and accepts degraded cross-boundary matches. Here the
 text lives sharded over the mesh's "parts" axis and the engine produces
 the exact suffix array OF THE WHOLE TEXT, with every doubling round's
 global sort running as a chunk-level bitonic merge-split over ICI
-(parallel/distsort.py) — no device ever holds the full text.
+(parallel/distsort.py). During the BUILD no device ever holds the full
+text or SA; the batched query path (`longest_substring_match_batch`)
+replicates the padded text per device, so per-chip HBM bounds the
+*queryable* text size (sharding the query's random text accesses would
+need a distributed gather — future work, see design note in
+PARITY.md).
 
 Algorithm = the flagship prefix-doubling engine
 (engines/doubling.py, itself the generalization of trsort's doubling loop,
 ref: crates/divsufsort/src/trsort.rs:1363-1410), re-expressed shard-wise:
 
-  per round (h static per compiled step, doubling each round):
+  initial ranks: pack `depth` RAW text bytes into depth/4 uint32 keys
+  per position (the cross-shard window comes from ONE neighbor ppermute)
+  and globally sort once — on text-like input this deep key resolves
+  almost every position before any doubling round runs (same measured
+  trade as the single-chip engine: one extra sort key is far cheaper
+  than an extra full round);
+
+  per round (h static per round, doubling each round):
     1. rank_h[i] = rank[i+h] — two static `ppermute` hops (the source
-       global position i+h falls in at most two neighbor shards);
+       global position i+h falls in at most two neighbor shards); past
+       the end the marker is -(i+1): negative and strictly decreasing,
+       so suffixes that end inside the window split immediately,
+       shortest first (the raw-byte zero pad conflates "ended" with a
+       real 0x00 byte, exactly as in engines/doubling.py — the marker
+       protocol is what repairs it);
     2. global sort by (rank, rank_h, gidx) — sharded bitonic merge-split;
     3. new dense ranks: local neighbor-diff flags with the boundary value
        shifted in from the previous shard, local cumsum + exclusive
@@ -24,16 +41,30 @@ ref: crates/divsufsort/src/trsort.rs:1363-1410), re-expressed shard-wise:
        re-balances shards exactly (shard s ends up with positions
        [s*L, (s+1)*L)).
 
-Zero-padding to P*L keeps all shapes static: pad bytes are encoded below
-every real byte, so pad suffixes occupy exactly the first `pad` slots of
-the sorted order and are dropped from the final SA (same order-preservation
-argument as parallel/partitioned.py's padding note).
+  Rounds are dispatched in blocks of `ROUNDS_PER_DISPATCH` inside one
+  jitted program; each round in the block is guarded by a replicated
+  `lax.cond(done, skip, run)` so finished builds stop computing, and the
+  host syncs the `done` flag only once per block (O(log(n)/K) syncs and
+  compiles rather than one of each per round).
+
+Zero-padding to P*L keeps all shapes static: pad suffixes are true
+suffixes of the padded text and sort strictly before the real suffix
+with the same content (shorter run sorts first), so they occupy exactly
+the first `pad` slots of the sorted order and are dropped from the
+final SA.
+
+Index width: pass idx=jnp.int64 (with jax x64 enabled) for global
+offsets past 2^31 — the multi-host regime this engine exists for
+(ref 64-bit mode: c-sources/divsufsort_private.h:63-84
+BUILD_DIVSUFSORT64). Keys stay uint32 (they hold raw bytes); only
+positions and ranks widen.
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,50 +81,91 @@ from stringsearch_tpu.parallel.distsort import (
 _I32 = jnp.int32
 _AXIS = "parts"
 
+#: doubling rounds fused into one jitted dispatch (host `done` syncs and
+#: fresh compiles happen once per block, not once per round)
+ROUNDS_PER_DISPATCH = 4
 
-def _global_iota(chunk_len: int):
-    me = jax.lax.axis_index(_AXIS)
-    return me * chunk_len + jnp.arange(chunk_len, dtype=_I32)
+#: default initial-key depth in text bytes (must be a multiple of 4;
+#: clamped down for tiny chunks)
+INITIAL_DEPTH = 16
 
 
-def _dense_ranks_from_sorted(eq_prev: jnp.ndarray):
+def _global_iota(chunk_len: int, idx):
+    me = jax.lax.axis_index(_AXIS).astype(idx)
+    return me * chunk_len + jnp.arange(chunk_len, dtype=idx)
+
+
+def _dense_ranks_from_sorted(eq_prev: jnp.ndarray, idx):
     """Global dense rank of each sorted element from `same as previous` flags.
 
     eq_prev: bool [L], True where the element's key equals its global
     predecessor's (shard-boundary handled by the caller).
     """
-    new_flag = (~eq_prev).astype(_I32)
+    new_flag = (~eq_prev).astype(idx)
     local = jnp.cumsum(new_flag)
     offset = exclusive_shard_offset(local[-1], _AXIS)
     return local + offset - 1  # global 0-based dense ranks
 
 
-def _initial_shard_ranks(chunk: jnp.ndarray):
-    """Ranks by the first 3 bytes (+1 bias, 0 = past-end), shard-wise."""
+def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
+    """Ranks by the first `depth` raw bytes (packed u32 keys), shard-wise.
+
+    The window past the shard boundary comes from the next shard's first
+    `depth` bytes (one ppermute); past the LAST shard the window is
+    zero-filled — the same raw-byte conflation as engines/doubling.py,
+    repaired by the doubling rounds' marker protocol.
+    """
     length = chunk.shape[0]
-    t = chunk.astype(_I32) + 1
-    # first two bytes of the NEXT shard (zeros past the last shard)
+    t = chunk.astype(jnp.uint32)
     p = jax.lax.axis_size(_AXIS)
     me = jax.lax.axis_index(_AXIS)
     perm = [(i, (i - 1) % p) for i in range(p)]
-    nxt = jax.lax.ppermute(t[:2], _AXIS, perm)
+    nxt = jax.lax.ppermute(t[:depth], _AXIS, perm)
     nxt = jnp.where(me == p - 1, jnp.zeros_like(nxt), nxt)
-    ext = jnp.concatenate([t, nxt])  # [L+2]
-    key = (ext[:length] << 18) | (ext[1 : length + 1] << 9) | (ext[2 : length + 2])
-    gidx = _global_iota(length)
-    key_s, gidx_s = sharded_sort((key, gidx), _AXIS, num_keys=1)
-    prev_key = shift_in_from_prev(key_s[-1:], _AXIS, -1)
-    eq_prev = key_s == jnp.concatenate([prev_key, key_s[:-1]])
-    rank_s = _dense_ranks_from_sorted(eq_prev)
+    ext = jnp.concatenate([t, nxt])  # [L + depth]
+    keys = []
+    for k in range(depth // 4):
+        o = 4 * k
+        keys.append(
+            (ext[o : o + length] << 24)
+            | (ext[o + 1 : o + 1 + length] << 16)
+            | (ext[o + 2 : o + 2 + length] << 8)
+            | ext[o + 3 : o + 3 + length]
+        )
+    nk = len(keys)
+    gidx = _global_iota(length, idx)
+    out = sharded_sort(tuple(keys) + (gidx,), _AXIS, num_keys=nk)
+    keys_s, gidx_s = out[:nk], out[-1]
+    # eq-prev across ALL keys; boundary values from the previous shard
+    prev = shift_in_from_prev(
+        jnp.stack([ks[-1] for ks in keys_s]), _AXIS, 0
+    )
+    eq_prev = jnp.ones((length,), bool)
+    for i, ks in enumerate(keys_s):
+        shifted = jnp.concatenate([prev[i : i + 1], ks[:-1]])
+        eq_prev = eq_prev & (ks == shifted)
+    # the global first element is never equal to a predecessor (the
+    # fill 0 above could collide with a real all-zero key)
+    eq_prev = eq_prev & ~(
+        (me == 0) & (jnp.arange(length) == 0)
+    )
+    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
     # back to text order
     _, rank = sharded_sort((gidx_s, rank_s), _AXIS, num_keys=1)
-    n_pad = length * jax.lax.axis_size(_AXIS)
+    n_pad = length * p
     done = jax.lax.pmax(jnp.max(rank_s), _AXIS) == n_pad - 1
     return rank, gidx_s, done
 
 
-def _shifted_ranks(rank: jnp.ndarray, h: int, total_shards: int):
-    """rank_h[i] = rank[global i + h], -1 past the end. h static."""
+def _shifted_ranks(rank: jnp.ndarray, h: int, total_shards: int, idx):
+    """rank_h[i] = rank[global i + h]; marker -(i+1) past the end.
+
+    h static. The marker is negative (ended suffixes sort before every
+    continuing one) and strictly decreasing in global i, so ties among
+    ended suffixes split immediately, shortest suffix first — required
+    because raw-byte zero-padded initial keys conflate "suffix ended"
+    with "real 0x00 byte" (see module docstring).
+    """
     length = rank.shape[0]
     p = total_shards
     me = jax.lax.axis_index(_AXIS)
@@ -107,16 +179,23 @@ def _shifted_ranks(rank: jnp.ndarray, h: int, total_shards: int):
         return jnp.where(me + delta < p, src, -1)
 
     if r == 0:
-        return from_offset(d)
-    a = from_offset(d)      # provides positions [r, L) of the window
-    b = from_offset(d + 1)  # provides positions [0, r)
-    return jnp.concatenate([a[r:], b[:r]])
+        shifted = from_offset(d)
+    else:
+        a = from_offset(d)      # provides positions [r, L) of the window
+        b = from_offset(d + 1)  # provides positions [0, r)
+        shifted = jnp.concatenate([a[r:], b[:r]])
+    gidx = _global_iota(length, idx)
+    n_pad = length * p
+    in_range = gidx < jnp.asarray(n_pad - h, idx) if h < n_pad else jnp.zeros(
+        (length,), bool
+    )
+    return jnp.where(in_range, shifted, -(gidx + 1))
 
 
-def _doubling_step(chunk_len: int, total_shards: int, h: int, rank):
+def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank):
     """One distributed doubling round (h static). Returns (rank, sa, done)."""
-    rank_h = _shifted_ranks(rank, h, total_shards)
-    gidx = _global_iota(chunk_len)
+    rank_h = _shifted_ranks(rank, h, total_shards, idx)
+    gidx = _global_iota(chunk_len, idx)
     r1s, r2s, sa_s = sharded_sort((rank, rank_h, gidx), _AXIS, num_keys=3)
     prev = shift_in_from_prev(
         jnp.stack([r1s[-1], r2s[-1]]), _AXIS, -2
@@ -125,22 +204,58 @@ def _doubling_step(chunk_len: int, total_shards: int, h: int, rank):
         (r1s == jnp.concatenate([prev[:1], r1s[:-1]]))
         & (r2s == jnp.concatenate([prev[1:2], r2s[:-1]]))
     )
-    rank_s = _dense_ranks_from_sorted(eq_prev)
+    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
     n_pad = chunk_len * total_shards
     done = jax.lax.pmax(jnp.max(rank_s), _AXIS) == n_pad - 1
     _, rank = sharded_sort((sa_s, rank_s), _AXIS, num_keys=1)
     return rank, sa_s, done
 
 
-def _wrap(mesh: Mesh, fn, n_out: int):
-    sharded = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=tuple(P(_AXIS) for _ in range(n_out)),
-        out_specs=None,
-        check_vma=False,
+def _rounds_block(chunk_len: int, total_shards: int, idx, hs: tuple,
+                  rank, sa, done):
+    """ROUNDS_PER_DISPATCH cond-guarded rounds in one traced program.
+
+    Every round's `done` is replicated (a pmax result), so all devices
+    take the same branch and the collectives inside the live branch stay
+    deadlock-free; once done flips, the remaining rounds are skipped.
+    """
+    state = (rank, sa, done)
+    for h in hs:
+        def run(st, h=h):
+            rank, _sa, _done = st
+            return _doubling_step(chunk_len, total_shards, idx, h, rank)
+
+        state = jax.lax.cond(state[2], lambda st: st, run, state)
+    return state
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_init(mesh: Mesh, depth: int, idx):
+    return jax.jit(
+        jax.shard_map(
+            partial(_initial_shard_ranks, depth, idx),
+            mesh=mesh,
+            in_specs=P(_AXIS),
+            out_specs=(P(_AXIS), P(_AXIS), P()),
+            check_vma=False,
+        )
     )
-    return sharded
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple):
+    """Cached per (mesh, shapes, h-schedule): repeated builds (bench reps,
+    the scaling harness, saturated-h tail blocks) reuse the compiled
+    program instead of re-tracing a fresh jit wrapper every dispatch."""
+    return jax.jit(
+        jax.shard_map(
+            partial(_rounds_block, chunk, p, idx, hs),
+            mesh=mesh,
+            in_specs=(P(_AXIS), P(_AXIS), P()),
+            out_specs=(P(_AXIS), P(_AXIS), P()),
+            check_vma=False,
+        )
+    )
 
 
 class GlobalSuffixArray:
@@ -149,20 +264,31 @@ class GlobalSuffixArray:
     Unlike `ShardedSuffixArray` (independent per-partition SAs with
     repair-at-query), this builds THE suffix array of the whole text; the
     result shards hold SA[s*L:(s+1)*L] of the global sorted order.
+
+    idx: index dtype for global positions/ranks — jnp.int32 (default,
+    n < 2^31) or jnp.int64 with jax x64 enabled (the multi-host 64-bit
+    mode; ref: c-sources/divsufsort_private.h:63-84).
     """
 
-    def __init__(self, text: BytesLike, mesh: Mesh):
+    def __init__(self, text: BytesLike, mesh: Mesh, idx=_I32,
+                 depth: int = INITIAL_DEPTH):
         if _AXIS not in mesh.shape:
             raise ValueError(f'mesh must have a "{_AXIS}" axis')
+        if depth % 4 or depth < 4:
+            raise ValueError("depth must be a positive multiple of 4")
         self.mesh = mesh
+        self.idx = idx
         arr = as_text_array(text)
         self.n = int(arr.shape[0])
         p = mesh.shape[_AXIS]
         self.num_shards = p
-        # min chunk of 3 keeps the cross-shard 2-byte key window inside the
-        # immediate next shard (tiny texts just carry extra zero padding)
-        chunk = max(-(-max(self.n, p) // p), 3)
+        # min chunk of 4 keeps even the clamped-down minimum initial-key
+        # window inside the immediate next shard (tiny texts just carry
+        # extra zero padding)
+        chunk = max(-(-max(self.n, p) // p), 4)
         self.chunk_len = chunk
+        # the initial window must not reach past the immediate neighbor
+        self.depth = max(4, min(depth, chunk) // 4 * 4)
         pad = chunk * p - self.n
         self.pad = pad
         if pad:
@@ -172,51 +298,49 @@ class GlobalSuffixArray:
         self._build()
 
     def _build(self) -> None:
-        mesh, chunk, p = self.mesh, self.chunk_len, self.num_shards
+        mesh, chunk, p, idx = self.mesh, self.chunk_len, self.num_shards, self.idx
         n_pad = chunk * p
 
-        init = jax.jit(
-            jax.shard_map(
-                _initial_shard_ranks,
-                mesh=mesh,
-                in_specs=P(_AXIS),
-                out_specs=(P(_AXIS), P(_AXIS), P()),
-                check_vma=False,
+        rank, sa, done = _jit_init(mesh, self.depth, idx)(self.text_padded)
+        h = self.depth
+        self.rounds_run = 0
+        # h saturates at n_pad, where the marker round resolves every
+        # remaining tie (raw-byte conflation means a count-based early
+        # exit is unsound; the saturated round is the guaranteed finisher)
+        while not bool(done):
+            hs = []
+            for _ in range(ROUNDS_PER_DISPATCH):
+                hs.append(h)
+                h = min(2 * h, n_pad)
+            rank, sa, done = _jit_block(mesh, chunk, p, idx, tuple(hs))(
+                rank, sa, done
             )
-        )
-        rank, sa, done = init(self.text_padded)
-        h = 3
-        while not bool(done) and h < n_pad:
-            step = jax.jit(
-                jax.shard_map(
-                    partial(_doubling_step, chunk, p, h),
-                    mesh=mesh,
-                    in_specs=P(_AXIS),
-                    out_specs=(P(_AXIS), P(_AXIS), P()),
-                    check_vma=False,
+            self.rounds_run += len(hs)
+            if self.rounds_run > 2 * n_pad.bit_length() + 2 * ROUNDS_PER_DISPATCH:
+                raise AssertionError(
+                    "global doubling failed to converge — bug"
                 )
-            )
-            rank, sa, done = step(rank)
-            h *= 2
         self.rank = rank  # ISA over the padded text, text order, sharded
         self._sa_sharded = sa  # sorted order, sharded
         self._sa_host: Optional[np.ndarray] = None
 
     def suffix_array(self) -> np.ndarray:
-        """The exact SA of the (unpadded) text as a host int32 [n]."""
+        """The exact SA of the (unpadded) text as a host array [n]."""
         if self._sa_host is None:
             full = np.asarray(jax.device_get(self._sa_sharded))
             # pad suffixes sort strictly first; drop them
-            self._sa_host = full[self.pad :].astype(np.int32)
+            self._sa_host = full[self.pad :]
         return self._sa_host
 
     def longest_substring_match_batch(self, needles):
         """Batched LCS query against the sharded global SA — distributed.
 
         Each shard binary-searches its contiguous slice of the global
-        sorted order against the (replicated) text; the per-shard
-        candidates reduce over ICI with an all-gather + argmax. No device
-        ever materializes the whole SA. Same LCS-of-needle-prefix
+        sorted order; the per-shard candidates reduce over ICI with an
+        all-gather + argmax. No device ever materializes the whole SA,
+        but the padded TEXT is replicated into each device for the
+        random accesses of the binary search — per-chip HBM bounds the
+        queryable size (see module docstring). Same LCS-of-needle-prefix
         semantics as the single-device path
         (ref: crates/sacabase/src/lib.rs:39-99).
         """
@@ -281,6 +405,7 @@ class GlobalSuffixArray:
         return SuffixArray(text, jnp.asarray(self.suffix_array()))
 
 
-def build_global(text: BytesLike, mesh: Mesh) -> GlobalSuffixArray:
+def build_global(text: BytesLike, mesh: Mesh, idx=_I32,
+                 depth: int = INITIAL_DEPTH) -> GlobalSuffixArray:
     """Build the exact global SA of `text` sharded over `mesh`'s "parts"."""
-    return GlobalSuffixArray(text, mesh)
+    return GlobalSuffixArray(text, mesh, idx=idx, depth=depth)

@@ -57,10 +57,20 @@ def test_sort_in_place_api():
     assert out.tolist() == [5, 3, 1, 0, 4, 2]
 
 
-def test_length_guard():
-    # i32 index path refuses n >= 2^31 without allocating
-    class FakeText:
-        pass
+def test_length_guard(monkeypatch):
+    # the i32 index path must refuse n >= 2^31 BEFORE allocating device
+    # state (ref guard: crates/divsufsort/src/lib.rs:10-13); stub the text
+    # coercion so the guard runs without a 2 GB allocation
+    from stringsearch_tpu.engines import doubling
 
-    with pytest.raises(Exception):
-        st.build_suffix_array(np.zeros(0, dtype=np.int16))  # wrong dtype
+    class FakeText:
+        shape = (1 << 31,)
+
+    monkeypatch.setattr(doubling, "as_text_array", lambda t: FakeText())
+    with pytest.raises(ValueError, match="2\\^31"):
+        doubling.sort(b"irrelevant")
+
+
+def test_rejects_wrong_dtype():
+    with pytest.raises(TypeError):
+        st.build_suffix_array(np.zeros(0, dtype=np.int16))
