@@ -5,8 +5,11 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 vs_baseline is measured against the BASELINE.json north-star target of
-1 GB/s/chip on enwik-class input (the reference publishes no numbers of
-its own — see BASELINE.md).
+1 GB/s/chip on 256 MB enwik-class input (the reference publishes no
+numbers of its own — see BASELINE.md). The default size IS the size the
+target is defined on (256 MB); override with BENCH_SIZE for smaller
+scans. Per-engine detail (doubling at several sizes + dc3) goes to
+BENCH_DETAIL.json and stderr so the headline line stays parseable.
 
 Metric definition matches the reference harness: bytes/s =
 input_len / wall_time_of_one_sort (ref: crates/divsuftest/src/main.rs:179).
@@ -24,38 +27,57 @@ import numpy as np
 TARGET_BYTES_PER_S = 1e9  # BASELINE.json north star: >= 1 GB/s/chip
 
 
-def main() -> None:
-    size = int(os.environ.get("BENCH_SIZE", 1 << 24))  # 16 MiB default
-    reps = int(os.environ.get("BENCH_REPS", 3))
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
-    import jax
+
+def _bench_build(build, text, reps: int) -> float:
+    """Min wall time of one build, reference formula main.rs:179."""
     import jax.numpy as jnp
-
-    from stringsearch_tpu.engines.doubling import build_adaptive
-    from stringsearch_tpu.harness.corpus import enwik_like
-
-    text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
-    text = jnp.asarray(text_host)
 
     def sync(x) -> float:
         # block_until_ready is a no-op through the axon tunnel; force
         # execution with a scalar reduction fetched to host (4-byte pull)
         return float(np.asarray(jnp.max(x)))
 
-    # warmup / compile (the adaptive build's shape schedule is input-
-    # deterministic, so one warmup run compiles every kernel the timed
-    # reps will use)
-    sa, isa = build_adaptive(text)
+    sa = build(text)
     sync(sa)
-
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sa, isa = build_adaptive(text)
+        sa = build(text)
         sync(sa)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    return min(times), sa
+
+
+def main() -> None:
+    size = int(os.environ.get("BENCH_SIZE", 1 << 28))  # 256 MB: the
+    # size the >=1 GB/s/chip target is defined on (BASELINE.md)
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines.doubling import _auto_depth, build_with_isa
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    detail: dict = {"sizes": {}}
+
+    _log(f"generating {size} bytes of enwik-like text ...")
+    text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
+
+    def doubling_build(t):
+        sa, _isa = build_with_isa(t, depth=_auto_depth(int(t.shape[0])))
+        return sa
+
+    # headline: doubling engine at the full size
+    text = jnp.asarray(text_host)
+    _log(f"doubling @ {size} B (depth {_auto_depth(size)}) ...")
+    dt, sa = _bench_build(doubling_build, text, reps)
     bps = size / dt
+    detail["sizes"][str(size)] = {"doubling_bytes_per_s": round(bps, 1),
+                                  "wall_s": round(dt, 4)}
+    _log(f"doubling: {dt:.3f}s -> {bps/1e6:.1f} MB/s")
 
     # correctness gate: the benched output must verify
     from stringsearch_tpu.core.verify import is_valid
@@ -66,6 +88,37 @@ def main() -> None:
                           "unit": "B/s", "vs_baseline": 0.0,
                           "error": "verification failed"}))
         sys.exit(1)
+
+    # detail: smaller-size scan + the dc3 second engine (never benched in
+    # round 1 — VERDICT item 2), unless BENCH_FAST skips the extras
+    if not os.environ.get("BENCH_FAST"):
+        small = min(size, 1 << 24)
+        if small != size:
+            ts = jnp.asarray(text_host[:small])
+            dts, _ = _bench_build(doubling_build, ts, reps)
+            detail["sizes"][str(small)] = {
+                "doubling_bytes_per_s": round(small / dts, 1),
+                "wall_s": round(dts, 4)}
+            _log(f"doubling @ {small}: {dts:.3f}s -> {small/dts/1e6:.1f} MB/s")
+        try:
+            from stringsearch_tpu.engines import dc3
+
+            dsz = min(size, 1 << 24)  # dc3's recursion tower is memory-
+            # hungrier; bench it at 16 MiB for the cross-engine number
+            td = text_host[:dsz]
+            dtd, _ = _bench_build(lambda t: jnp.asarray(dc3.sort(t).sa),
+                                  td, reps)
+            detail["dc3"] = {"size": dsz,
+                             "bytes_per_s": round(dsz / dtd, 1),
+                             "wall_s": round(dtd, 4)}
+            _log(f"dc3 @ {dsz}: {dtd:.3f}s -> {dsz/dtd/1e6:.1f} MB/s")
+        except Exception as e:  # keep the headline alive
+            detail["dc3"] = {"error": repr(e)[:200]}
+            _log(f"dc3 bench failed: {e!r}")
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
 
     print(json.dumps({
         "metric": "sa_build_bytes_per_s",

@@ -63,6 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stringsearch_tpu.core.types import SuffixArray, as_text_array
+from stringsearch_tpu.ops.bitonic import device_sort
 
 _I32 = jnp.int32
 
@@ -100,7 +101,7 @@ def _scatter_to_text_order(sa, rank_s):
     rank_s[j] at text position sa[j]; measured on TPU this beats the
     random-access scatter (`.at[sa].set`) by ~2x at n=2^24.
     """
-    _, rank = jax.lax.sort((sa, rank_s), num_keys=1)
+    _, rank = device_sort((sa, rank_s), num_keys=1)
     return rank
 
 
@@ -137,7 +138,7 @@ def _initial_full(text, idx=_I32, depth: int = 24):
     n = text.shape[0]
     keys = _pack4_keys(text, depth)
     j = jnp.arange(n, dtype=idx)
-    out = jax.lax.sort(keys + (j,), num_keys=len(keys))
+    out = device_sort(keys + (j,), num_keys=len(keys))
     sa_s = out[-1]
     diff = jnp.zeros((max(n - 1, 0),), bool)
     for ks in out[:-1]:
@@ -153,7 +154,7 @@ def _full_round(rank, h, idx=_I32):
     n = rank.shape[0]
     j = jnp.arange(n, dtype=idx)
     rank_h = _shift_ranks(rank, h)
-    r1s, r2s, sa_s = jax.lax.sort((rank, rank_h, j), num_keys=2)
+    r1s, r2s, sa_s = device_sort((rank, rank_h, j), num_keys=2)
     new_flag = jnp.concatenate(
         [jnp.ones((1,), bool), (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])]
     )
@@ -173,7 +174,7 @@ def _extract(rank_s, sa_s, m: int, idx=_I32):
     nxt_head = jnp.concatenate([rank_s[1:], jnp.full((1,), -1, idx)])
     tied = (rank_s != j) | (nxt_head == rank_s)
     key = jnp.where(tied, rank_s, _sent(idx))
-    ks, pos = jax.lax.sort((key, sa_s), num_keys=1)
+    ks, pos = device_sort((key, sa_s), num_keys=1)
     g = ks[:m]
     pos = jnp.where(g == _sent(idx), n, pos[:m])
     return g, pos
@@ -197,7 +198,7 @@ def _compact_round(g, pos, rank, sa, h, idx=_I32):
     key2 = jnp.where(
         ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -(pos + 1)
     )
-    g_s, k2_s, pos_s = jax.lax.sort((g, key2, pos), num_keys=3)
+    g_s, k2_s, pos_s = device_sort((g, key2, pos), num_keys=3)
     group_f = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
     run_f = group_f | jnp.concatenate(
         [jnp.ones((1,), bool), k2_s[1:] != k2_s[:-1]]
@@ -223,7 +224,7 @@ def _shrink(g, pos, m2: int):
     Caller guarantees the live (non-pad) count is <= m2; resolved entries
     were already blanked to (sent, n) pads by `_compact_round`.
     """
-    g2, p2 = jax.lax.sort((g, pos), num_keys=2)
+    g2, p2 = device_sort((g, pos), num_keys=2)
     return g2[:m2], p2[:m2]
 
 

@@ -113,8 +113,9 @@ def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
     compact = jax.jit(D._compact_round)
 
     out = {"n": n, "depth": depth}
-    out["t_initial"] = _timeit(init, text, depth=depth, reps=reps)
-    rank, sa_s, rank_s, count = init(text, depth=depth)
+    init_d = lambda t: init(t, depth=depth)  # noqa: E731
+    out["t_initial"] = _timeit(init_d, text, reps=reps)
+    rank, sa_s, rank_s, count = init_d(text)
     counts = [int(count)]
     t_full = []
     h = depth
