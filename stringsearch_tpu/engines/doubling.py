@@ -22,11 +22,14 @@ program with no host round-trips:
      head-slot ranks with a neighbor-diff + cumulative max — inside a
      lax.while_loop, only while more than n/4 positions remain tied
      (adversarial inputs: long runs, tiny alphabets);
-  3. two-level compaction (Larsson–Sadakane re-expressed for TPU): tied
-     group members move to a static n/4-capacity array, then to an
-     n/64-capacity array once few enough; rounds sort only those,
-     scattering rank/SA updates back into the full arrays — the analog
-     of trsort's sorted-run skipping via negative ISA sentinels
+  3. cascaded compaction (Larsson–Sadakane re-expressed for TPU): tied
+     group members move to a static n/4-capacity array, then through
+     progressively smaller levels (n/32, n/256 by default) as groups
+     resolve; each level's rounds run only while the tied count exceeds
+     the next level's capacity, so round cost tracks the live tied
+     population. Rounds sort only the compacted members, scattering
+     rank/SA updates back into the full arrays — the analog of trsort's
+     sorted-run skipping via negative ISA sentinels
      (ref: crates/divsufsort/src/trsort.rs:1363-1410).
 
 Initial keys pack four RAW bytes per uint32 word with ZERO padding past
@@ -228,25 +231,33 @@ def _shrink(g, pos, m2: int):
     return g2[:m2], p2[:m2]
 
 
-@partial(jax.jit, static_argnames=("idx", "depth"))
-def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24):
+@partial(jax.jit, static_argnames=("idx", "depth", "levels"))
+def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
+                   levels: tuple = (4, 32, 256)):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
     One device program: a `depth`-byte initial sort, full doubling rounds
-    in a while_loop only while more than n/4 positions stay tied, then
-    two compaction levels (n/4-capacity, then n/64-capacity) whose rounds
-    sort only the tied-group members. On text-like input the full-round
-    loop never executes and the level-1 loop usually doesn't either, so
-    the build is one deep sort + one rank scatter + two extractions +
-    tiny level-2 rounds. `isa` (the final head-slot ranks = inverse
-    suffix array) comes for free and feeds verification and LCP work.
+    in a while_loop only while more than n/levels[0] positions stay tied,
+    then a cascade of compaction levels with capacities n/levels[i]
+    (Larsson-Sadakane re-expressed; default n/4 -> n/32 -> n/256): each
+    level's rounds run only while the tied count exceeds the next
+    level's capacity, so round cost tracks the actual tied population
+    instead of the first level's worst case. On text-like input the
+    full-round loop never executes and rounds start at the deepest level
+    that fits, so the build is one deep sort + one rank scatter + one
+    extraction + small compacted rounds. `isa` (the final head-slot
+    ranks = inverse suffix array) comes for free and feeds verification
+    and LCP work.
     """
     n = text.shape[0]
     if depth % 4 or depth < 4:
         raise ValueError("depth must be a positive multiple of 4")
     n_i = jnp.asarray(n, idx)
     rank0, sa0, rank_s0, count0 = _initial_full(text, idx, depth)
-    threshold = n // 4
+    caps = [max(min(n, max(n // d, 64)), 1) for d in levels]
+    # enforce non-increasing capacities after the n/64-floor clamps
+    for i in range(1, len(caps)):
+        caps[i] = min(caps[i], caps[i - 1])
     h0 = jnp.minimum(jnp.asarray(depth, idx), n_i)
 
     def cond1(st):
@@ -254,7 +265,7 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24):
         # no `h < n` guard: conflated initial ranks (raw-byte zero pad)
         # mean short suffixes may need the h == n marker round to split;
         # that round always zeroes the count, so this terminates
-        return count > threshold
+        return count > caps[0]
 
     def body1(st):
         rank, _sa, _rank_s, h, _count = st
@@ -265,40 +276,33 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24):
         cond1, body1, (rank0, sa0, rank_s0, h0, count0)
     )
 
-    m1 = max(n // 4, 1)
-    m2 = min(n, max(n // 64, 64), m1)
-
     def resolved(args):
         rank, sa, _rank_s, _h, _count = args
         return sa, rank
 
     def compact_tail(args):
         rank, sa, rank_s, h, count = args
-        # level 1: n/4 capacity, rounds only while too big for level 2
-        g1, pos1 = _extract(rank_s, sa, m1, idx)
-
-        def cond_l1(st):
-            _g, _pos, _rank, _sa, h, count = st
-            return count > m2
 
         def body(st):
             g, pos, rank, sa, h, _count = st
             g, pos, rank, sa, count = _compact_round(g, pos, rank, sa, h, idx)
             return g, pos, rank, sa, jnp.minimum(h + h, n_i), count
 
-        g1, pos1, rank, sa, h, count = jax.lax.while_loop(
-            cond_l1, body, (g1, pos1, rank, sa, h, count)
-        )
+        g, pos = _extract(rank_s, sa, caps[0], idx)
+        for nxt in caps[1:]:
+            def cond_level(st, nxt=nxt):
+                return st[5] > nxt
 
-        # level 2: n/64 capacity (count <= m2 guaranteed by cond_l1)
-        g2, pos2 = _shrink(g1, pos1, m2)
+            g, pos, rank, sa, h, count = jax.lax.while_loop(
+                cond_level, body, (g, pos, rank, sa, h, count)
+            )
+            g, pos = _shrink(g, pos, nxt)
 
-        def cond_l2(st):
-            _g, _pos, _rank, _sa, h, count = st
-            return count > 0
+        def cond_last(st):
+            return st[5] > 0
 
         _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
-            cond_l2, body, (g2, pos2, rank, sa, h, count)
+            cond_last, body, (g, pos, rank, sa, h, count)
         )
         return sa, rank
 

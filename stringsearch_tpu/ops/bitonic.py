@@ -150,6 +150,47 @@ def _sublane_exchange(xs, num_keys, j, k, gi):
     return tuple(jnp.where(swap, p, x) for x, p in zip(xs, partners))
 
 
+def _sublane_exchange_static(xs, num_keys, j: int, k: int, gi):
+    """Compare-exchange at STATIC sublane distance j >= 128.
+
+    Static form of `_sublane_exchange`: the two partner views are static
+    slice+concat "rolls" (no dynamic rotate, no loop), which Mosaic
+    lowers to plain sublane shifts.
+    """
+    shape = xs[0].shape
+    r = shape[0]
+    jrow = j // _LANES
+
+    def roll_up(x):  # roll_up[i] = x[i + jrow]
+        return jnp.concatenate([x[jrow:], x[:jrow]], axis=0)
+
+    def roll_dn(x):  # roll_dn[i] = x[i - jrow]
+        return jnp.concatenate([x[r - jrow :], x[: r - jrow]], axis=0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    bit_unset = (row & jrow) == 0
+    partners = tuple(
+        jnp.where(bit_unset, roll_up(x), roll_dn(x)) for x in xs
+    )
+    a = [jnp.where(bit_unset, x, p) for x, p in zip(xs, partners)]
+    b = [jnp.where(bit_unset, p, x) for x, p in zip(xs, partners)]
+    dir_asc = (gi & k) == 0
+    swap = _swap_pred(dir_asc, a[:num_keys], b[:num_keys])
+    return tuple(jnp.where(swap, p, x) for x, p in zip(xs, partners))
+
+
+def _run_group_tail_static(xs, num_keys, k: int, j_hi: int, gi):
+    """Fully unrolled stages j = j_hi .. 1 of group k (k, j_hi static)."""
+    j = j_hi
+    while j >= _LANES:
+        xs = _sublane_exchange_static(xs, num_keys, j, k, gi)
+        j >>= 1
+    while j >= 1:
+        xs = _lane_exchange(xs, num_keys, j, jnp.int32(k), gi, True)
+        j >>= 1
+    return xs
+
+
 def _run_group_tail(xs, num_keys, k, j_hi, gi):
     """Stages j = j_hi .. 1 of group k, local to a [R, 128] tile.
 
@@ -175,6 +216,11 @@ def _run_group_tail(xs, num_keys, k, j_hi, gi):
     return xs
 
 
+def _unrolled() -> bool:
+    """Fully static network (bigger compile, lower runtime overhead)."""
+    return os.environ.get("STRINGSEARCH_TPU_PALLAS_UNROLL", "0") in ("1", "on")
+
+
 def _local_sort_kernel(num_keys, v, *refs):
     """Grid pass 1: fully run stage groups k = 2 .. v in VMEM."""
     c = len(refs) // 2
@@ -183,11 +229,17 @@ def _local_sort_kernel(num_keys, v, *refs):
     block_start = pl.program_id(0) * v
     gi = _global_idx(xs[0].shape, block_start)
 
-    def group(s, xs):
-        k = jnp.int32(2) << s
-        return _run_group_tail(xs, num_keys, k, k >> 1, gi)
+    if _unrolled():
+        k = 2
+        while k <= v:
+            xs = _run_group_tail_static(xs, num_keys, k, k // 2, gi)
+            k <<= 1
+    else:
+        def group(s, xs):
+            k = jnp.int32(2) << s
+            return _run_group_tail(xs, num_keys, k, k >> 1, gi)
 
-    xs = jax.lax.fori_loop(0, max(v.bit_length() - 1, 1), group, xs)
+        xs = jax.lax.fori_loop(0, max(v.bit_length() - 1, 1), group, xs)
     for o, x in zip(outs, xs):
         o[:] = x
 
@@ -219,9 +271,12 @@ def _make_cross(num_keys, c, v, k, j, fuse_tail):
         xs = tuple(jnp.where(swap, p, x) for x, p in zip(xs, ps))
         if fuse_tail:
             gi = _global_idx(xs[0].shape, block_start)
-            xs = _run_group_tail(
-                xs, num_keys, jnp.int32(k), jnp.int32(v // 2), gi
-            )
+            if _unrolled():
+                xs = _run_group_tail_static(xs, num_keys, k, v // 2, gi)
+            else:
+                xs = _run_group_tail(
+                    xs, num_keys, jnp.int32(k), jnp.int32(v // 2), gi
+                )
         for o, x in zip(outs, xs):
             o[:] = x
 
@@ -336,18 +391,20 @@ def pallas_sort(operands, num_keys: int = 1, interpret: bool = False):
 
 
 def _pallas_mode() -> str:
-    """"on" | "off" | "interpret" (tests) | "auto" -> on iff TPU backend."""
-    env = os.environ.get("STRINGSEARCH_TPU_PALLAS", "auto")
-    if env in ("0", "off", "false"):
-        return "off"
+    """"on" | "off" | "interpret" (tests).
+
+    Default is OFF: measured on v5e (2026-08-20), the kernel is correct
+    but slower than XLA's sort (kv 2^24: 137 ms vs 75 ms; 6-key: 449 ms
+    vs 169 ms) — the stage loops are latency-bound. It stays opt-in
+    (STRINGSEARCH_TPU_PALLAS=1, plus _UNROLL=1 for the static network)
+    until a variant beats lax.sort; see harness/microbench.py.
+    """
+    env = os.environ.get("STRINGSEARCH_TPU_PALLAS", "off")
     if env in ("1", "on", "true"):
         return "on"
     if env == "interpret":
         return "interpret"
-    try:
-        return "on" if jax.default_backend() == "tpu" else "off"
-    except Exception:
-        return "off"
+    return "off"
 
 
 def device_sort(operands, num_keys: int = 1):
