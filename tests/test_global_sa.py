@@ -87,3 +87,29 @@ def test_global_distributed_query(mesh8):
         assert text[a.start : a.start + a.len] == nd[: a.len]
     single = g.longest_substring_match(b"time fl")
     assert single.as_bytes() == b"time fl"
+
+
+def test_global_i64_index_mode(mesh8):
+    """idx=jnp.int64 (the multi-host 64-bit mode, ref
+    c-sources/divsufsort_private.h:63-84) must produce int64 output equal
+    to the i32 build on the same text."""
+    import jax.numpy as jnp
+
+    text = bytes(
+        np.random.default_rng(42).integers(0, 16, 777, dtype=np.uint8)
+    )
+    want = build_global(text, mesh8).suffix_array()
+    with jax.enable_x64():
+        g64 = build_global(text, mesh8, idx=jnp.int64)
+        got = g64.suffix_array()
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_global_rounds_are_batched(mesh8):
+    """Deep initial keys + blocked dispatch: text-like input resolves in
+    at most one dispatch block of rounds (VERDICT r1 item 4)."""
+    from stringsearch_tpu.parallel.global_sa import ROUNDS_PER_DISPATCH
+
+    g = build_global(enwik_like(4096), mesh8)
+    assert g.rounds_run <= ROUNDS_PER_DISPATCH, g.rounds_run
