@@ -2,18 +2,34 @@
 
 Why this exists: every phase of the SACA engines is one `jax.lax.sort`
 (see engines/doubling.py), and on TPU the XLA sort is the wall — a
-(key, payload) sort of 2^24 elements costs ~56 ms net on v5e, ~15x off
-HBM speed-of-light, because the bitonic network pays HBM traffic per
-stage group. This kernel runs the same XOR bitonic network
-(ref-free; the classic formulation: for k in 2,4,..,n: for j in
-k/2,..,1: exchange i with i^j, direction (i & k) == 0) but blocks the
-array into VMEM tiles of 2^17..2^19 elements so that:
+(key, payload) sort of 2^24 elements costs ~50 ms device time on v5e,
+~7x off HBM speed-of-light, because the bitonic network pays HBM
+traffic roughly every other stage. This kernel runs the same XOR
+bitonic network (ref-free; the classic formulation: for k in 2,4,..,n:
+for j in k/2,..,1: exchange i with i^j, direction (i & k) == 0) but
+blocks the array into VMEM tiles of 2^17..2^19 elements so that:
 
   * the first log2(V) stage groups — ~75% of all compare-exchanges —
     run in ONE grid pass over HBM (`_local_sort_kernel`);
   * each remaining stage group k > V needs only log2(k/V) cross-block
     passes, and the last of them fuses the group's entire local tail
     (j <= V/2) into the same kernel (`_cross_kernel`).
+
+MEASURED VERDICT (v5e, 2026-08-20; regenerate with
+harness/microbench.py and /tmp-style variant probes): the fusion does
+NOT beat XLA. kv 2^24: this kernel 137 ms vs lax.sort 75 ms (device
+~112 vs ~50 ms after the ~25 ms dispatch floor). The per-stage
+decomposition on a [4096,128] tile pins the cause: 5.1 us/stage for a
+bare loop with elementwise body (loop-carried VMEM round trips),
+9.5 us with partner rolls/gathers, 14.4 us with the full comparator —
+i.e. a stage is VMEM-BANDWIDTH-bound at ~12-15 vector ops each
+touching the whole tile, while XLA's stage is HBM-bound at ~3 ops.
+VMEM is only ~3-4x faster than HBM on v5e, so fusing stages into VMEM
+without shrinking ops-per-stage cannot win; winning needs
+register-blocked multi-stage processing (read an (8,128) vreg once,
+run all in-register distances), which Mosaic does not expose. The
+kernel therefore stays OPT-IN (STRINGSEARCH_TPU_PALLAS=1) as a
+documented negative result; `device_sort` routes to lax.sort.
 
 Exchange mechanics inside a [R, 128] VMEM tile:
   * lane-distance j < 128: partner = take_along_axis(x, lane ^ j) — the
