@@ -62,6 +62,45 @@ def _needle_batch_to_windows(needles: Sequence[BytesLike]) -> tuple[np.ndarray, 
     return out, lens, width
 
 
+def lcs_loop(windows_at, n_sa: int, needles, steps: int):
+    """Batched LCS binary search with a pluggable suffix-window fetch.
+
+    windows_at(pos [B]) -> (text_start [B], window [B, M] int32 with
+    PAST_TEXT_END sentinels) for SA-slice positions `pos` (callers clamp).
+    This is the loop both the single-device kernel (local gathers) and
+    the text-sharded distributed query (all-to-all gathers inside
+    shard_map, parallel/gather.py) share.
+    """
+    b = needles.shape[0]
+    lo = jnp.zeros((b,), jnp.int32)
+    hi = jnp.full((b,), n_sa, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        _, suff = windows_at(mid)
+        less = cmp.lex_less(suff, needles)  # suffix < needle
+        active = lo < hi
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & (~less), mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+
+    # Longest common prefix is achieved at an insertion-point neighbor.
+    left, right = lo - 1, lo
+    start_l, win_l = windows_at(left)
+    start_r, win_r = windows_at(right)
+    lcp_l = cmp.prefix_match_len(win_l, needles)
+    lcp_r = cmp.prefix_match_len(win_r, needles)
+    lcp_l = jnp.where(left >= 0, lcp_l, -1)
+    lcp_r = jnp.where(right <= n_sa - 1, lcp_r, -1)
+    take_left = lcp_l >= lcp_r
+    start = jnp.where(take_left, start_l, start_r)
+    length = jnp.maximum(jnp.where(take_left, lcp_l, lcp_r), 0)
+    return start, length
+
+
 @partial(jax.jit, static_argnames=("steps",))
 def lcs_kernel(text, sa, needles, steps: int):
     """Batched LCS query. needles: int32 [B, M] padded with PAST_NEEDLE_END.
@@ -74,37 +113,11 @@ def lcs_kernel(text, sa, needles, steps: int):
     n_sa = sa.shape[0]
     m_width = needles.shape[-1]
 
-    def suffix_windows(pos):
+    def windows_at(pos):
         starts = jnp.take(sa, jnp.clip(pos, 0, n_sa - 1))
-        return cmp.gather_window(text, starts, m_width)
+        return starts, cmp.gather_window(text, starts, m_width)
 
-    b = needles.shape[0]
-    lo = jnp.zeros((b,), jnp.int32)
-    hi = jnp.full((b,), n_sa, jnp.int32)
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        suff = suffix_windows(mid)
-        less = cmp.lex_less(suff, needles)  # suffix < needle
-        active = lo < hi
-        lo = jnp.where(active & less, mid + 1, lo)
-        hi = jnp.where(active & (~less), mid, hi)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-
-    # Longest common prefix is achieved at an insertion-point neighbor.
-    left, right = lo - 1, lo
-    lcp_l = cmp.prefix_match_len(suffix_windows(left), needles)
-    lcp_r = cmp.prefix_match_len(suffix_windows(right), needles)
-    lcp_l = jnp.where(left >= 0, lcp_l, -1)
-    lcp_r = jnp.where(right <= n_sa - 1, lcp_r, -1)
-    take_left = lcp_l >= lcp_r
-    sel = jnp.where(take_left, jnp.clip(left, 0, n_sa - 1), jnp.clip(right, 0, n_sa - 1))
-    start = jnp.take(sa, sel)
-    length = jnp.maximum(jnp.where(take_left, lcp_l, lcp_r), 0)
-    return start, length
+    return lcs_loop(windows_at, n_sa, needles, steps)
 
 
 @partial(jax.jit, static_argnames=("steps",))

@@ -7,11 +7,12 @@ text lives sharded over the mesh's "parts" axis and the engine produces
 the exact suffix array OF THE WHOLE TEXT, with every doubling round's
 global sort running as a chunk-level bitonic merge-split over ICI
 (parallel/distsort.py). During the BUILD no device ever holds the full
-text or SA; the batched query path (`longest_substring_match_batch`)
-replicates the padded text per device, so per-chip HBM bounds the
-*queryable* text size (sharding the query's random text accesses would
-need a distributed gather — future work, see design note in
-PARITY.md).
+text or SA. The batched query path (`longest_substring_match_batch`)
+offers two text-residency modes: "replicated" (default — fastest, but
+per-chip HBM bounds the queryable size) and "sharded" (every binary-
+search probe fetches its text window through the all-to-all distributed
+gather of parallel/gather.py — one collective per step, no device ever
+holds more than text/P).
 
 Algorithm = the flagship prefix-doubling engine
 (engines/doubling.py, itself the generalization of trsort's doubling loop,
@@ -332,41 +333,50 @@ class GlobalSuffixArray:
             self._sa_host = full[self.pad :]
         return self._sa_host
 
-    def longest_substring_match_batch(self, needles):
+    def longest_substring_match_batch(self, needles, text_mode: str = "replicated"):
         """Batched LCS query against the sharded global SA — distributed.
 
         Each shard binary-searches its contiguous slice of the global
         sorted order; the per-shard candidates reduce over ICI with an
-        all-gather + argmax. No device ever materializes the whole SA,
-        but the padded TEXT is replicated into each device for the
-        random accesses of the binary search — per-chip HBM bounds the
-        queryable size (see module docstring). Same LCS-of-needle-prefix
-        semantics as the single-device path
+        all-gather + argmax. No device ever materializes the whole SA.
+        Same LCS-of-needle-prefix semantics as the single-device path
         (ref: crates/sacabase/src/lib.rs:39-99).
+
+        text_mode:
+          "replicated" (default) — the padded text is replicated per
+          device for the binary search's random reads; fastest, but
+          per-chip HBM bounds the queryable size.
+          "sharded" — the text stays sharded and every probe's window
+          is fetched with the all-to-all distributed gather
+          (parallel/gather.py); one collective per search step, but no
+          device ever holds more than text/P — the mode for texts
+          larger than one chip's HBM.
         """
         from stringsearch_tpu.core import compare as cmp
         from stringsearch_tpu.core.search import (
             _ceil_log2,
             _needle_batch_to_windows,
             lcs_kernel,
+            lcs_loop,
         )
         from stringsearch_tpu.core.types import LongestCommonSubstring
+        from stringsearch_tpu.parallel.gather import sharded_gather_windows
 
+        if text_mode not in ("replicated", "sharded"):
+            raise ValueError(f"unknown text_mode {text_mode!r}")
         if not needles:
             return []
         padded, _lens, width = _needle_batch_to_windows(needles)
         needles_dev = jnp.asarray(padded)
         n, mesh, chunk = self.n, self.mesh, self.chunk_len
+        n_pad = chunk * self.num_shards
         steps = _ceil_log2(chunk + 1) + 1
-        text = self.text_padded
+        m_width = padded.shape[-1]
 
-        def per_shard(sa_slice, text_full, nds):
-            start, _ = lcs_kernel(text_full, sa_slice, nds, steps)
-            # recompute true lengths against the text, then mask pad
-            # suffixes (start >= n) and clamp matches at the real end of
-            # text (a \x00-bearing needle must not extend into zero pad)
-            windows = cmp.gather_window(text_full, start[None, :], nds.shape[-1])[0]
-            length = cmp.prefix_match_len(windows, nds)
+        def reduce_over_shards(start, length, nds):
+            # mask pad suffixes (start >= n) and clamp matches at the
+            # real end of text (a \x00-bearing needle must not extend
+            # into zero pad)
             length = jnp.minimum(length, n - start)
             length = jnp.where(start < n, length, -1)
             all_len = jax.lax.all_gather(length, _AXIS, axis=0)  # [P, B]
@@ -376,16 +386,46 @@ class GlobalSuffixArray:
             best_start = jnp.take_along_axis(all_start, best_p[None, :], axis=0)[0]
             return best_start, best_len
 
-        query = jax.jit(
-            jax.shard_map(
-                per_shard,
-                mesh=mesh,
-                in_specs=(P(_AXIS), P(), P()),
-                out_specs=(P(), P()),
-                check_vma=False,
+        def per_shard_replicated(sa_slice, text_full, nds):
+            start, _ = lcs_kernel(text_full, sa_slice, nds, steps)
+            windows = cmp.gather_window(text_full, start[None, :], nds.shape[-1])[0]
+            length = cmp.prefix_match_len(windows, nds)
+            return reduce_over_shards(start, length, nds)
+
+        def per_shard_sharded(sa_slice, text_shard, nds):
+            def windows_at(pos):
+                starts = jnp.take(sa_slice, jnp.clip(pos, 0, chunk - 1))
+                win = sharded_gather_windows(
+                    text_shard, starts, m_width, _AXIS
+                ).astype(jnp.int32)
+                offs = jnp.arange(m_width, dtype=jnp.int32)
+                inb = (starts[:, None] + offs[None, :]) < n_pad
+                return starts, jnp.where(inb, win, cmp.PAST_TEXT_END)
+
+            start, length = lcs_loop(windows_at, chunk, nds, steps)
+            return reduce_over_shards(start, length, nds)
+
+        if text_mode == "replicated":
+            query = jax.jit(
+                jax.shard_map(
+                    per_shard_replicated,
+                    mesh=mesh,
+                    in_specs=(P(_AXIS), P(), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
             )
-        )
-        start, length = query(self._sa_sharded, text, needles_dev)
+        else:
+            query = jax.jit(
+                jax.shard_map(
+                    per_shard_sharded,
+                    mesh=mesh,
+                    in_specs=(P(_AXIS), P(_AXIS), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            )
+        start, length = query(self._sa_sharded, self.text_padded, needles_dev)
         start = np.asarray(start)
         length = np.asarray(length)
         host = np.asarray(self.text_padded[: self.n])

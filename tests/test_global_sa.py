@@ -113,3 +113,18 @@ def test_global_rounds_are_batched(mesh8):
 
     g = build_global(enwik_like(4096), mesh8)
     assert g.rounds_run <= ROUNDS_PER_DISPATCH, g.rounds_run
+
+
+def test_global_query_sharded_text_mode(mesh8):
+    """text_mode='sharded' (all-to-all window fetches, no replicated text)
+    must agree with the replicated query exactly."""
+    text = (b"the time traveller (for so it will be convenient to speak "
+            b"of him) was expounding a recondite matter to us; time, time")
+    g = build_global(text, mesh8)
+    needles = [b"time tr", b"recondite matters", b"zzz-not-here", b"t",
+               text[-9:] + b"\x00tail", b"e"]
+    rep = g.longest_substring_match_batch(needles)
+    shd = g.longest_substring_match_batch(needles, text_mode="sharded")
+    for nd, a, b in zip(needles, rep, shd):
+        assert a.len == b.len, (nd, a.len, b.len)
+        assert text[b.start : b.start + b.len] == nd[: b.len]
