@@ -89,8 +89,7 @@ def main() -> None:
                           "error": "verification failed"}))
         sys.exit(1)
 
-    # detail: smaller-size scan + the dc3 second engine (never benched in
-    # round 1 — VERDICT item 2), unless BENCH_FAST skips the extras
+    # detail: smaller-size scan, unless BENCH_FAST skips the extras
     if not os.environ.get("BENCH_FAST"):
         small = min(size, 1 << 24)
         if small != size:
@@ -100,11 +99,15 @@ def main() -> None:
                 "doubling_bytes_per_s": round(small / dts, 1),
                 "wall_s": round(dts, 4)}
             _log(f"doubling @ {small}: {dts:.3f}s -> {small/dts/1e6:.1f} MB/s")
+    # the dc3 second engine: opt-in via BENCH_DC3 — its host-driven
+    # recursion compiles one program per level and the remote-compile
+    # tunnel takes minutes per shape, which would risk the driver's
+    # bench window (measured numbers live in BENCH_DETAIL.json / README)
+    if os.environ.get("BENCH_DC3"):
         try:
             from stringsearch_tpu.engines import dc3
 
-            dsz = min(size, 1 << 24)  # dc3's recursion tower is memory-
-            # hungrier; bench it at 16 MiB for the cross-engine number
+            dsz = min(size, int(os.environ.get("BENCH_DC3_SIZE", 1 << 22)))
             td = text_host[:dsz]
             dtd, _ = _bench_build(lambda t: jnp.asarray(dc3.sort(t).sa),
                                   td, reps)

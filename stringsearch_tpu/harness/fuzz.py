@@ -267,7 +267,7 @@ def main(argv=None) -> int:
         if (i + 1) % 25 == 0:
             print(f"[{i + 1}/{args.iters}] ok so far, {failures} failures",
                   flush=True)
-        if (i + 1) % 150 == 0:
+        if (i + 1) % 50 == 0:
             # long campaigns accumulate one compiled executable per
             # (length, target) pair; drop them before the process hits
             # memory limits (they recompile on demand)
