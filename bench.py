@@ -63,8 +63,17 @@ def main() -> None:
 
     detail: dict = {"sizes": {}}
 
-    _log(f"generating {size} bytes of enwik-like text ...")
-    text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
+    cache = f"/tmp/stringsearch_bench_enwik_{size}.bin"
+    if os.path.exists(cache) and os.path.getsize(cache) == size:
+        _log(f"loading {size} bytes of enwik-like text from {cache} ...")
+        text_host = np.fromfile(cache, dtype=np.uint8)
+    else:
+        _log(f"generating {size} bytes of enwik-like text ...")
+        text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
+        try:
+            text_host.tofile(cache)
+        except OSError:
+            pass
 
     def doubling_build(t):
         sa, _isa = build_with_isa(t, depth=_auto_depth(int(t.shape[0])))

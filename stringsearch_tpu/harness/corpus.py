@@ -100,21 +100,38 @@ def enwik_like(n: int, seed: int = 7) -> bytes:
     p /= p.sum()
     seps = [b"\n", b". ", b", ", b" "]
     sep_p = np.array([0.02, 0.03, 0.03, 0.92])
-    out = bytearray()
+    # vocabulary blob for fully-vectorized assembly: words, then the
+    # 10000 number strings, then the separators — token streams index
+    # into this table and the byte expansion is one repeat+gather
+    # (the per-token Python loop this replaces took minutes at 256 MB)
+    entries = words + [str(v).encode() for v in range(10000)] + seps
+    blob = np.frombuffer(b"".join(entries), dtype=np.uint8)
+    lens = np.array([len(e) for e in entries], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    nw, nsep = len(words), len(seps)
+    out_parts: list[np.ndarray] = []
+    have = 0
     chunk = max(1024, n // 5)  # tokens per vectorized draw (~6 B/token)
-    while len(out) < n:
+    while have < n:
         widx = rng.choice(len(words), size=chunk, p=p)
         sidx = rng.choice(len(seps), size=chunk, p=sep_p)
         numbers = rng.random(chunk) < 0.03
         numvals = rng.integers(0, 10000, size=chunk)
-        parts = []
-        for i in range(chunk):
-            parts.append(
-                str(int(numvals[i])).encode() if numbers[i] else words[int(widx[i])]
-            )
-            parts.append(seps[int(sidx[i])])
-        out += b"".join(parts)
-    return bytes(out[:n])
+        toks = np.empty(2 * chunk, dtype=np.int64)
+        toks[0::2] = np.where(numbers, nw + numvals, widx)
+        toks[1::2] = nw + 10000 + sidx
+        tl = lens[toks]
+        starts = np.concatenate([[0], np.cumsum(tl)[:-1]])
+        total = int(starts[-1] + tl[-1])
+        # byte j of token i reads blob[j - starts[i] + offs[toks[i]]]:
+        # expand via boundary-scatter + cumsum (np.repeat is ~10x slower)
+        delta = offs[toks] - starts
+        d = np.ones(total, dtype=np.int64)
+        d[0] += delta[0]
+        d[starts[1:]] += np.diff(delta)
+        out_parts.append(blob[np.cumsum(d) - 1])
+        have += total
+    return np.concatenate(out_parts)[:n].tobytes()
 
 
 def random_bytes(n: int, alphabet: int = 256, seed: int = 1) -> bytes:
