@@ -122,10 +122,17 @@ def _shift_ranks(rank, h):
     """
     n = rank.shape[0]
     j = jnp.arange(n, dtype=rank.dtype)
+    n_i = jnp.asarray(n, rank.dtype)
+    # fan rounds pass shifts k*h that may exceed n: clamp the slice
+    # start (XLA would clamp it anyway, silently corrupting the tail
+    # markers) and force markers wherever i + h >= n afterwards — a
+    # no-op elementwise select when h < n, fused into the consumer sort
+    h_c = jnp.minimum(jnp.asarray(h, rank.dtype), n_i)
     # tail slot k (global index n+k) is read by i = n+k-h: marker -(i+1)
-    tail = -(jnp.asarray(n, rank.dtype) + j - jnp.asarray(h, rank.dtype) + 1)
+    tail = -(n_i + j - h_c + 1)
     ext = jnp.concatenate([rank, tail])
-    return jax.lax.dynamic_slice_in_dim(ext, h, n)
+    out = jax.lax.dynamic_slice_in_dim(ext, h_c, n)
+    return jnp.where(j + h_c >= n_i, -(j + 1), out)
 
 
 def _heads_and_tied(new_flag_bool, j):
@@ -152,15 +159,36 @@ def _initial_full(text, idx=_I32, depth: int = 24):
     return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
 
 
-def _full_round(rank, h, idx=_I32):
-    """One full-width round with head-slot ranks + tied count."""
+def _full_round(rank, h, idx=_I32, fan: int = 2):
+    """One full-width round with head-slot ranks + tied count.
+
+    `fan` generalizes doubling: the sort keys are
+    (rank[i], rank[i+h], ..., rank[i+(fan-1)h]), each a depth-h class, so
+    one round multiplies the resolved depth by `fan` instead of 2 — the
+    caller advances h *= fan. Each extra key is one more n-length sort
+    operand, which on TPU costs far less than a whole extra full-width
+    round (sort + rank scatter); see harness/microbench.py. The
+    past-the-end marker protocol (`_shift_ranks`) is per-key: a suffix
+    ending within segment k gets the distinct negative marker -(i+1) at
+    key k+1, so ended suffixes still split shortest-first at the first
+    key that reaches past them.
+    """
     n = rank.shape[0]
     j = jnp.arange(n, dtype=idx)
-    rank_h = _shift_ranks(rank, h)
-    r1s, r2s, sa_s = device_sort((rank, rank_h, j), num_keys=2)
-    new_flag = jnp.concatenate(
-        [jnp.ones((1,), bool), (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])]
+    # k*h can overflow idx for huge n: cap h at n//k + 1 first (static n),
+    # so the product is <= n + k and _shift_ranks clamps the rest
+    keys = (rank,) + tuple(
+        _shift_ranks(
+            rank, jnp.minimum(h, jnp.asarray(n // k + 1, idx)) * k
+        )
+        for k in range(1, fan)
     )
+    out = device_sort(keys + (j,), num_keys=fan)
+    sa_s = out[-1]
+    diff = jnp.zeros((max(n - 1, 0),), bool)
+    for ks in out[:-1]:
+        diff = diff | (ks[1:] != ks[:-1])
+    new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), diff])
     rank_s, tied = _heads_and_tied(new_flag, j)
     rank = _scatter_to_text_order(sa_s, rank_s)
     return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
@@ -183,29 +211,39 @@ def _extract(rank_s, sa_s, m: int, idx=_I32):
     return g, pos
 
 
-def _compact_round(g, pos, rank, sa, h, idx=_I32):
+def _compact_round(g, pos, rank, sa, h, idx=_I32, fan: int = 2):
     """One compacted round over the tied groups only.
 
     g/pos: [m] group-head ranks + positions (pads g=sentinel, pos=n);
     rank/sa: full [n] state updated by scatter. Returns
     (g', pos', rank', sa', count) with resolved entries blanked to pads.
+    `fan` as in `_full_round`: keys (g, rank[pos+h], ..,
+    rank[pos+(fan-1)h]) advance the depth to fan*h in one round. Every
+    rank in the full array has depth >= h (resolved entries are final),
+    so each shifted key is a valid depth-h class for its segment.
     """
     n = rank.shape[0]
     m = g.shape[0]
     sent = _sent(idx)
     j = jnp.arange(m, dtype=idx)
-    ph = pos + h
-    # past-the-end marker -(pos+1): distinct and decreasing, so suffixes
-    # ending within the window split immediately (shorter first) — same
-    # protocol as _shift_ranks
-    key2 = jnp.where(
-        ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -(pos + 1)
-    )
-    g_s, k2_s, pos_s = device_sort((g, key2, pos), num_keys=3)
+    shift_keys = []
+    for k in range(1, fan):
+        # overflow guard as in _full_round: k*h capped near n, and pads
+        # carry pos = n so ph <= ~2n stays well inside idx range
+        ph = pos + jnp.minimum(h, jnp.asarray(n // k + 1, idx)) * k
+        # past-the-end marker -(pos+1): distinct and decreasing, so
+        # suffixes ending within the window split immediately (shorter
+        # first) — same protocol as _shift_ranks
+        shift_keys.append(jnp.where(
+            ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -(pos + 1)
+        ))
+    out = device_sort((g, *shift_keys, pos), num_keys=fan + 1)
+    g_s, pos_s = out[0], out[-1]
     group_f = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
-    run_f = group_f | jnp.concatenate(
-        [jnp.ones((1,), bool), k2_s[1:] != k2_s[:-1]]
-    )
+    kdiff = jnp.zeros((max(m - 1, 0),), bool)
+    for ks in out[1:-1]:
+        kdiff = kdiff | (ks[1:] != ks[:-1])
+    run_f = group_f | jnp.concatenate([jnp.ones((min(m, 1),), bool), kdiff])
     ghead = jax.lax.cummax(jnp.where(group_f, j, -1))
     rhead = jax.lax.cummax(jnp.where(run_f, j, -1))
     valid = g_s != sent
@@ -231,9 +269,9 @@ def _shrink(g, pos, m2: int):
     return g2[:m2], p2[:m2]
 
 
-@partial(jax.jit, static_argnames=("idx", "depth", "levels"))
+@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan"))
 def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
-                   levels: tuple = (4, 32, 256)):
+                   levels: tuple = (4, 32, 256), fan: int = 4):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
     One device program: a `depth`-byte initial sort, full doubling rounds
@@ -269,8 +307,9 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
 
     def body1(st):
         rank, _sa, _rank_s, h, _count = st
-        rank, sa_s, rank_s, count = _full_round(rank, h, idx)
-        return rank, sa_s, rank_s, jnp.minimum(h + h, n_i), count
+        rank, sa_s, rank_s, count = _full_round(rank, h, idx, fan)
+        h_n = jnp.minimum(jnp.minimum(h, n_i // fan + 1) * fan, n_i)
+        return rank, sa_s, rank_s, h_n, count
 
     rank, sa, rank_s, h, count = jax.lax.while_loop(
         cond1, body1, (rank0, sa0, rank_s0, h0, count0)
@@ -285,8 +324,11 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
 
         def body(st):
             g, pos, rank, sa, h, _count = st
-            g, pos, rank, sa, count = _compact_round(g, pos, rank, sa, h, idx)
-            return g, pos, rank, sa, jnp.minimum(h + h, n_i), count
+            g, pos, rank, sa, count = _compact_round(
+                g, pos, rank, sa, h, idx, fan
+            )
+            h_n = jnp.minimum(jnp.minimum(h, n_i // fan + 1) * fan, n_i)
+            return g, pos, rank, sa, h_n, count
 
         g, pos = _extract(rank_s, sa, caps[0], idx)
         for nxt in caps[1:]:

@@ -112,9 +112,16 @@ def enwik_like(n: int, seed: int = 7) -> bytes:
     out_parts: list[np.ndarray] = []
     have = 0
     chunk = max(1024, n // 5)  # tokens per vectorized draw (~6 B/token)
+    # inverse-CDF sampling, the exact computation Generator.choice(p=...)
+    # performs (cumsum + searchsorted over self.random) minus its slow
+    # per-call validation — same RNG stream, byte-identical output
+    wcdf = np.cumsum(p)
+    wcdf /= wcdf[-1]
+    scdf = np.cumsum(sep_p)
+    scdf /= scdf[-1]
     while have < n:
-        widx = rng.choice(len(words), size=chunk, p=p)
-        sidx = rng.choice(len(seps), size=chunk, p=sep_p)
+        widx = wcdf.searchsorted(rng.random(chunk), side="right")
+        sidx = scdf.searchsorted(rng.random(chunk), side="right")
         numbers = rng.random(chunk) < 0.03
         numvals = rng.integers(0, 10000, size=chunk)
         toks = np.empty(2 * chunk, dtype=np.int64)
