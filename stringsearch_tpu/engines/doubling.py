@@ -15,13 +15,18 @@ program with no host round-trips:
      (ref: crates/divsufsort/src/divsufsort.rs:127-161), taken much deeper
      because on TPU one extra sort key costs far less than a full extra
      doubling round (microbench-measured on v5e: a 6-key sort is ~1.6x a
-     1-key sort, while every avoided round saves 2 full-width sorts). On
-     enwik-class text a 24-byte key leaves <1% of positions tied, so the
-     build is typically ONE full-width sort plus small compacted rounds;
-  2. full-width doubling rounds — sort by (rank[i], rank[i+h]), assign
-     head-slot ranks with a neighbor-diff + cumulative max — inside a
-     lax.while_loop, only while more than n/4 positions remain tied
-     (adversarial inputs: long runs, tiny alphabets);
+     1-key sort, while every avoided round saves 2 full-width sorts).
+     Measured tied fractions on enwik-class text at n=2^24: 58.8% at
+     depth 12, 23.7% at 16, 0.72% at 24, 0 at 48 — so at depth 24 the
+     build is typically ONE full-width sort plus small compacted
+     rounds, while the memory-constrained large-n configs (depth 12-16,
+     see `_auto_depth`) rely on full-width rounds to finish;
+  2. full-width fan rounds — sort by (rank[i], rank[i+h], ..,
+     rank[i+(fan-1)h]), each key a depth-h class, so one round
+     multiplies the depth by `fan` (default 4) instead of 2; head-slot
+     ranks from a neighbor-diff + cumulative max — inside a
+     lax.while_loop, only while more than n/levels[0] positions remain
+     tied (adversarial inputs: long runs, tiny alphabets);
   3. cascaded compaction (Larsson–Sadakane re-expressed for TPU): tied
      group members move to a static n/4-capacity array, then through
      progressively smaller levels (n/32, n/256 by default) as groups

@@ -25,7 +25,11 @@ ref: crates/divsufsort/src/trsort.rs:1363-1410), re-expressed shard-wise:
   trade as the single-chip engine: one extra sort key is far cheaper
   than an extra full round);
 
-  per round (h static per round, doubling each round):
+  per round (h static per round; depth multiplies by `fan` — default 3 —
+  per round: sort keys (rank[i], rank[i+h], .., rank[i+(fan-1)h]), each
+  a depth-h class; an extra key is one more operand through the
+  merge-split exchanges, far cheaper than an extra full round of global
+  sorts over ICI):
     1. rank_h[i] = rank[i+h] — two static `ppermute` hops (the source
        global position i+h falls in at most two neighbor shards); past
        the end the marker is -(i+1): negative and strictly decreasing,
@@ -193,27 +197,38 @@ def _shifted_ranks(rank: jnp.ndarray, h: int, total_shards: int, idx):
     return jnp.where(in_range, shifted, -(gidx + 1))
 
 
-def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank):
-    """One distributed doubling round (h static). Returns (rank, sa, done)."""
-    rank_h = _shifted_ranks(rank, h, total_shards, idx)
-    gidx = _global_iota(chunk_len, idx)
-    r1s, r2s, sa_s = sharded_sort((rank, rank_h, gidx), _AXIS, num_keys=3)
-    prev = shift_in_from_prev(
-        jnp.stack([r1s[-1], r2s[-1]]), _AXIS, -2
-    )
-    eq_prev = (
-        (r1s == jnp.concatenate([prev[:1], r1s[:-1]]))
-        & (r2s == jnp.concatenate([prev[1:2], r2s[:-1]]))
-    )
-    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
+def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
+                   fan: int = 2):
+    """One distributed round (h static). Returns (rank, sa, done).
+
+    `fan` as in engines/doubling.py: sort keys (rank[i], rank[i+h], ...,
+    rank[i+(fan-1)h]) — each a depth-h class — multiply the resolved
+    depth by `fan` per round instead of 2. Each extra key costs one more
+    operand through the bitonic merge-split exchanges, far cheaper than
+    a whole extra round of global sorts over ICI.
+    """
     n_pad = chunk_len * total_shards
+    shifts = [
+        _shifted_ranks(rank, min(k * h, n_pad), total_shards, idx)
+        for k in range(1, fan)
+    ]
+    gidx = _global_iota(chunk_len, idx)
+    out = sharded_sort((rank, *shifts, gidx), _AXIS, num_keys=fan + 1)
+    keys_s, sa_s = out[:fan], out[-1]
+    prev = shift_in_from_prev(
+        jnp.stack([ks[-1] for ks in keys_s]), _AXIS, -2
+    )
+    eq_prev = jnp.ones((chunk_len,), bool)
+    for i, ks in enumerate(keys_s):
+        eq_prev = eq_prev & (ks == jnp.concatenate([prev[i : i + 1], ks[:-1]]))
+    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
     done = jax.lax.pmax(jnp.max(rank_s), _AXIS) == n_pad - 1
     _, rank = sharded_sort((sa_s, rank_s), _AXIS, num_keys=1)
     return rank, sa_s, done
 
 
 def _rounds_block(chunk_len: int, total_shards: int, idx, hs: tuple,
-                  rank, sa, done):
+                  fan: int, rank, sa, done):
     """ROUNDS_PER_DISPATCH cond-guarded rounds in one traced program.
 
     Every round's `done` is replicated (a pmax result), so all devices
@@ -224,7 +239,7 @@ def _rounds_block(chunk_len: int, total_shards: int, idx, hs: tuple,
     for h in hs:
         def run(st, h=h):
             rank, _sa, _done = st
-            return _doubling_step(chunk_len, total_shards, idx, h, rank)
+            return _doubling_step(chunk_len, total_shards, idx, h, rank, fan)
 
         state = jax.lax.cond(state[2], lambda st: st, run, state)
     return state
@@ -244,13 +259,13 @@ def _jit_init(mesh: Mesh, depth: int, idx):
 
 
 @functools.lru_cache(maxsize=256)
-def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple):
+def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple, fan: int):
     """Cached per (mesh, shapes, h-schedule): repeated builds (bench reps,
     the scaling harness, saturated-h tail blocks) reuse the compiled
     program instead of re-tracing a fresh jit wrapper every dispatch."""
     return jax.jit(
         jax.shard_map(
-            partial(_rounds_block, chunk, p, idx, hs),
+            partial(_rounds_block, chunk, p, idx, hs, fan),
             mesh=mesh,
             in_specs=(P(_AXIS), P(_AXIS), P()),
             out_specs=(P(_AXIS), P(_AXIS), P()),
@@ -272,13 +287,16 @@ class GlobalSuffixArray:
     """
 
     def __init__(self, text: BytesLike, mesh: Mesh, idx=_I32,
-                 depth: int = INITIAL_DEPTH):
+                 depth: int = INITIAL_DEPTH, fan: int = 3):
         if _AXIS not in mesh.shape:
             raise ValueError(f'mesh must have a "{_AXIS}" axis')
         if depth % 4 or depth < 4:
             raise ValueError("depth must be a positive multiple of 4")
+        if fan < 2:
+            raise ValueError("fan must be >= 2")
         self.mesh = mesh
         self.idx = idx
+        self.fan = fan
         arr = as_text_array(text)
         self.n = int(arr.shape[0])
         p = mesh.shape[_AXIS]
@@ -312,10 +330,10 @@ class GlobalSuffixArray:
             hs = []
             for _ in range(ROUNDS_PER_DISPATCH):
                 hs.append(h)
-                h = min(2 * h, n_pad)
-            rank, sa, done = _jit_block(mesh, chunk, p, idx, tuple(hs))(
-                rank, sa, done
-            )
+                h = min(self.fan * h, n_pad)
+            rank, sa, done = _jit_block(
+                mesh, chunk, p, idx, tuple(hs), self.fan
+            )(rank, sa, done)
             self.rounds_run += len(hs)
             if self.rounds_run > 2 * n_pad.bit_length() + 2 * ROUNDS_PER_DISPATCH:
                 raise AssertionError(
@@ -446,6 +464,6 @@ class GlobalSuffixArray:
 
 
 def build_global(text: BytesLike, mesh: Mesh, idx=_I32,
-                 depth: int = INITIAL_DEPTH) -> GlobalSuffixArray:
+                 depth: int = INITIAL_DEPTH, fan: int = 3) -> GlobalSuffixArray:
     """Build the exact global SA of `text` sharded over `mesh`'s "parts"."""
-    return GlobalSuffixArray(text, mesh, idx=idx, depth=depth)
+    return GlobalSuffixArray(text, mesh, idx=idx, depth=depth, fan=fan)
