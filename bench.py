@@ -63,15 +63,38 @@ def main() -> None:
 
     detail: dict = {"sizes": {}}
 
+    # cache keyed by size + a digest of the first/last 64 KB (validated on
+    # load so a stale or foreign file can't silently become the input),
+    # written atomically via temp file + os.replace
+    import hashlib
+
+    def _digest(arr: np.ndarray) -> str:
+        h = hashlib.sha256()
+        h.update(arr[: 1 << 16].tobytes())
+        h.update(arr[-(1 << 16):].tobytes())
+        return h.hexdigest()[:16]
+
     cache = f"/tmp/stringsearch_bench_enwik_{size}.bin"
-    if os.path.exists(cache) and os.path.getsize(cache) == size:
-        _log(f"loading {size} bytes of enwik-like text from {cache} ...")
-        text_host = np.fromfile(cache, dtype=np.uint8)
-    else:
+    meta = cache + ".sha"
+    text_host = None
+    if os.path.exists(cache) and os.path.getsize(cache) == size \
+            and os.path.exists(meta):
+        cand = np.fromfile(cache, dtype=np.uint8)
+        with open(meta) as f:
+            want = f.read().strip()
+        if _digest(cand) == want:
+            _log(f"loading {size} bytes of enwik-like text from {cache} ...")
+            text_host = cand
+    if text_host is None:
         _log(f"generating {size} bytes of enwik-like text ...")
         text_host = np.frombuffer(enwik_like(size), dtype=np.uint8)
         try:
-            text_host.tofile(cache)
+            tmp = cache + f".tmp{os.getpid()}"
+            text_host.tofile(tmp)
+            os.replace(tmp, cache)
+            with open(meta + f".tmp{os.getpid()}", "w") as f:
+                f.write(_digest(text_host))
+            os.replace(meta + f".tmp{os.getpid()}", meta)
         except OSError:
             pass
 

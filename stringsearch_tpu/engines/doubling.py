@@ -148,13 +148,13 @@ def _heads_and_tied(new_flag_bool, j):
     return head, tied
 
 
-def _initial_full(text, idx=_I32, depth: int = 24):
-    """`depth`-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
-    n = text.shape[0]
-    keys = _pack4_keys(text, depth)
-    j = jnp.arange(n, dtype=idx)
-    out = device_sort(keys + (j,), num_keys=len(keys))
+def _ranks_from_sorted(out, idx):
+    """Shared head-slot ranking for a sorted (keys..., payload) tuple.
+
+    Returns (rank_text_order, sa_s, rank_s, count_tied)."""
     sa_s = out[-1]
+    n = sa_s.shape[0]
+    j = jnp.arange(n, dtype=idx)
     diff = jnp.zeros((max(n - 1, 0),), bool)
     for ks in out[:-1]:
         diff = diff | (ks[1:] != ks[:-1])
@@ -162,6 +162,16 @@ def _initial_full(text, idx=_I32, depth: int = 24):
     rank_s, tied = _heads_and_tied(new_flag, j)
     rank = _scatter_to_text_order(sa_s, rank_s)
     return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
+
+
+def _initial_full(text, idx=_I32, depth: int = 24):
+    """`depth`-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
+    n = text.shape[0]
+    keys = _pack4_keys(text, depth)
+    j = jnp.arange(n, dtype=idx)
+    out = device_sort(keys + (j,), num_keys=len(keys))
+    rank, _sa_s, rank_s, count = _ranks_from_sorted(out, idx)
+    return rank, out[-1], rank_s, count
 
 
 def _full_round(rank, h, idx=_I32, fan: int = 2):
@@ -189,14 +199,7 @@ def _full_round(rank, h, idx=_I32, fan: int = 2):
         for k in range(1, fan)
     )
     out = device_sort(keys + (j,), num_keys=fan)
-    sa_s = out[-1]
-    diff = jnp.zeros((max(n - 1, 0),), bool)
-    for ks in out[:-1]:
-        diff = diff | (ks[1:] != ks[:-1])
-    new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), diff])
-    rank_s, tied = _heads_and_tied(new_flag, j)
-    rank = _scatter_to_text_order(sa_s, rank_s)
-    return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
+    return _ranks_from_sorted(out, idx)
 
 
 def _extract(rank_s, sa_s, m: int, idx=_I32):
@@ -233,15 +236,18 @@ def _compact_round(g, pos, rank, sa, h, idx=_I32, fan: int = 2):
     j = jnp.arange(m, dtype=idx)
     shift_keys = []
     for k in range(1, fan):
-        # overflow guard as in _full_round: k*h capped near n, and pads
-        # carry pos = n so ph <= ~2n stays well inside idx range
-        ph = pos + jnp.minimum(h, jnp.asarray(n // k + 1, idx)) * k
+        # overflow guard as in _full_round: k*h capped near n.  The
+        # past-end test is written as pos >= n - s_k (never pos + s_k,
+        # whose sum can exceed idx range for n > 2^30 with large h); the
+        # ph sum below is only formed where the test already passed, so
+        # it stays < n
+        s_k = jnp.minimum(h, jnp.asarray(n // k + 1, idx)) * k
+        past = pos >= jnp.asarray(n, idx) - s_k
+        ph = jnp.where(past, 0, pos + s_k)
         # past-the-end marker -(pos+1): distinct and decreasing, so
         # suffixes ending within the window split immediately (shorter
         # first) — same protocol as _shift_ranks
-        shift_keys.append(jnp.where(
-            ph < n, jnp.take(rank, jnp.clip(ph, 0, n - 1)), -(pos + 1)
-        ))
+        shift_keys.append(jnp.where(past, -(pos + 1), jnp.take(rank, ph)))
     out = device_sort((g, *shift_keys, pos), num_keys=fan + 1)
     g_s, pos_s = out[0], out[-1]
     group_f = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
@@ -295,13 +301,26 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
     n = text.shape[0]
     if depth % 4 or depth < 4:
         raise ValueError("depth must be a positive multiple of 4")
-    n_i = jnp.asarray(n, idx)
+    if fan < 2:
+        # fan=1 would make h_n == h so the while_loops never advance
+        raise ValueError("fan must be >= 2")
     rank0, sa0, rank_s0, count0 = _initial_full(text, idx, depth)
+    h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
+    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan)
+
+
+def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan):
+    """Doubling rounds + cascaded compaction from an initial ranking.
+
+    The post-initial-sort core of `build_with_isa`, shared with the
+    int-sequence build (`build_ints_with_isa`) that the B*-reduction
+    engine runs on its reduced string. Returns (sa, rank)."""
+    n = rank0.shape[0]
+    n_i = jnp.asarray(n, idx)
     caps = [max(min(n, max(n // d, 64)), 1) for d in levels]
     # enforce non-increasing capacities after the n/64-floor clamps
     for i in range(1, len(caps)):
         caps[i] = min(caps[i], caps[i - 1])
-    h0 = jnp.minimum(jnp.asarray(depth, idx), n_i)
 
     def cond1(st):
         _rank, _sa, _rank_s, h, count = st
@@ -356,6 +375,47 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
     return jax.lax.cond(
         count == 0, resolved, compact_tail, (rank, sa, rank_s, h, count)
     )
+
+
+@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan"))
+def build_ints_with_isa(seq: jnp.ndarray, idx=_I32, depth: int = 4,
+                        levels: tuple = (4, 32, 256), fan: int = 4):
+    """SA of an `idx`-typed integer sequence. Returns (sa, isa), [n] each.
+
+    The doubling engine generalized from u8 text to an arbitrary integer
+    alphabet — the reduced-string solver for the B*-reduction engine
+    (`engines/bstar.py`), playing the role trsort plays on divsufsort's
+    reduced B* problem (ref: crates/divsufsort/src/trsort.rs:1347-1411,
+    which likewise refines integer ranks, not bytes). Unlike the u8
+    build's zero-padded packed keys, the initial keys here are exact:
+    key t of element i is seq[i+t], or the past-the-end marker -(i+1)
+    (via `_shift_ranks`), so initial ranks are exact depth-`depth`
+    classes and no marker-repair rounds are needed.
+
+    `seq` values may be any idx-typed integers (negative allowed); only
+    their relative order matters.
+    """
+    n = seq.shape[0]
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if fan < 2:
+        raise ValueError("fan must be >= 2")
+    if n == 0:
+        return seq, seq
+    seq = seq.astype(idx)
+    # the past-the-end markers -(i+1) used by _shift_ranks must sort
+    # below every real value, so bias the sequence to be non-negative
+    # (requires max(seq) - min(seq) < idx range, true for the name
+    # alphabets this is built for)
+    seq = seq - jnp.min(seq)
+    j = jnp.arange(n, dtype=idx)
+    keys = (seq,) + tuple(
+        _shift_ranks(seq, jnp.asarray(t, idx)) for t in range(1, depth)
+    )
+    out = device_sort(keys + (j,), num_keys=depth)
+    rank0, sa0, rank_s0, count0 = _ranks_from_sorted(out, idx)
+    h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
+    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan)
 
 
 def build_adaptive(text: jnp.ndarray):

@@ -108,7 +108,7 @@ def enwik_like(n: int, seed: int = 7) -> bytes:
     blob = np.frombuffer(b"".join(entries), dtype=np.uint8)
     lens = np.array([len(e) for e in entries], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    nw, nsep = len(words), len(seps)
+    nw = len(words)
     out_parts: list[np.ndarray] = []
     have = 0
     chunk = max(1024, n // 5)  # tokens per vectorized draw (~6 B/token)
