@@ -11,6 +11,10 @@ Engines here:
   (ref: crates/divsufsort/src/trsort.rs:1347-1411). Fully jittable.
 - "dc3": difference-cover mod-3 SACA (ref: crates/dc3/src/lib.rs), the
   independently-derived second engine for in-framework cross-checking.
+- "bstar": divsufsort-structured engine — A/B/B* classification, B*
+  substring naming, reduced-problem solve, and data-parallel induced
+  derivation of the full SA (ref: crates/divsufsort/src/divsufsort.rs
+  sort_typeBstar + construct_SA, re-expressed; see engines/bstar.py).
 - "oracle": trusted host C++ engine (ref: crates/cdivsufsort) — CPU-side,
   used for differential conformance.
 """
@@ -31,11 +35,16 @@ def get_engine(name: str) -> Callable[[BytesLike], SuffixArray]:
         from stringsearch_tpu.engines.dc3 import sort
 
         return sort
+    if name == "bstar":
+        from stringsearch_tpu.engines.bstar import sort
+
+        return sort
     if name == "oracle":
         from stringsearch_tpu.oracle import sort
 
         return sort
-    raise KeyError(f"unknown engine {name!r} (have: doubling, dc3, oracle)")
+    raise KeyError(
+        f"unknown engine {name!r} (have: doubling, dc3, bstar, oracle)")
 
 
 def build_suffix_array(text: BytesLike, engine: str = "doubling") -> SuffixArray:
@@ -43,4 +52,4 @@ def build_suffix_array(text: BytesLike, engine: str = "doubling") -> SuffixArray
     return get_engine(engine)(text)
 
 
-ENGINES = ("doubling", "dc3", "oracle")
+ENGINES = ("doubling", "dc3", "bstar", "oracle")

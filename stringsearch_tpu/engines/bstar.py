@@ -285,12 +285,18 @@ def _induce(elem_sel, w1, w2, nxt_arr, hops: int, idx=_I32):
 
     The doubling refinement: after the hop-key sort, ranks are exact
     equivalence classes of the first `hops` hops; a round sorts tied
-    entries by the rank at their `hops`*2^r-hop jump target, doubling
-    the exact depth — terminating entries are already singleton classes
-    (their terminal word carries a unique anchor rank), so jumps stay
-    inside selected positions. This replaces construct_SA's sequential
-    pop-place scans (ref: crates/divsufsort/src/divsufsort.rs:366-450)
-    with one sort + O(log(max segments per run)) refinement rounds.
+    entries by the continuation at their `hops`*2^r-hop jump target,
+    doubling the exact depth. A jump target is either a still-selected
+    position (continuation = its current in-phase rank, refining) or a
+    terminal — an unselected position or the off-end slot — whose
+    continuation is its exact (w1, w2) word pair; the leading w1 word
+    keeps the two scales comparable (equal w1 implies equal parity,
+    i.e. the same kind, so the second word is always compared within
+    one scale). Jumps freeze at terminals; a jump must never be chased
+    through an unselected position (its jump-table slot is pad
+    garbage). This replaces construct_SA's sequential pop-place scans
+    (ref: crates/divsufsort/src/divsufsort.rs:366-450) with one sort +
+    O(log(max segments per run)) refinement rounds.
     """
     n = elem_sel.shape[0]
     j = jnp.arange(n, dtype=idx)
@@ -318,24 +324,38 @@ def _induce(elem_sel, w1, w2, nxt_arr, hops: int, idx=_I32):
         _, r = device_sort((pos_s, val_s), num_keys=1)
         return r
 
+    sel_ext = jnp.concatenate([elem_sel, jnp.zeros((1,), bool)])
+
     def cond(st):
         return st[0] > 0
 
     def body(st):
         _c, rank_s, pos_s, jump_s = st
         rank_pos = scat(pos_s, rank_s)
-        key2 = jnp.take(rank_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1))
-        out = device_sort((rank_s, key2, jump_s, pos_s), num_keys=2)
+        jsel = jnp.take(sel_ext, jump_s)
+        k1 = jnp.take(w1, jump_s)
+        k2 = jnp.where(
+            jsel,
+            jnp.take(rank_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1)),
+            jnp.take(w2, jump_s),
+        )
+        out = device_sort((rank_s, k1, k2, jump_s, pos_s), num_keys=3)
         rank_old, jump_s, pos_s = out[0], out[-2], out[-1]
-        eqr = (rank_old[1:] == rank_old[:-1]) & (out[1][1:] == out[1][:-1])
+        eqr = jnp.ones((max(n - 1, 0),), bool)
+        for ks in out[:3]:
+            eqr = eqr & (ks[1:] == ks[:-1])
         new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), ~eqr])
         rank_s, tied = _heads_and_tied(new_flag, j)
         tied = tied & (j < nsel)
-        # double the jump: target's jump target (gather through the
-        # position-indexed jump table)
+        # double the jump: target's jump target (through the
+        # position-indexed jump table), freezing at terminals
         jump_pos = scat(pos_s, jump_s)
-        jump_s = jnp.take(
-            jump_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1))
+        jsel2 = jnp.take(sel_ext, jump_s)
+        jump_s = jnp.where(
+            jsel2,
+            jnp.take(jump_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1)),
+            jump_s,
+        )
         return jnp.sum(tied.astype(idx)), rank_s, pos_s, jump_s
 
     _c, rank_s, pos_s, _jump_s = jax.lax.while_loop(
