@@ -493,3 +493,39 @@ def sort_in_place(text, sa_out: np.ndarray) -> None:
     """Fill a caller-provided int32 buffer (ref API shape:
     crates/divsufsort/src/lib.rs:20-22)."""
     np.copyto(sa_out, np.asarray(sort(text).sa))
+
+
+def sort_traced(text, tracer) -> SuffixArray:
+    """Traced B*-engine build: host-stepped phases with diffable dumps —
+    the trace points mirror the reference's phase structure
+    (classification/bucket counts, sorted B*, induced B, final SA; ref
+    trace calls threaded through sort_typeBstar/construct_SA,
+    crates/divsufsort/src/divsufsort.rs:177,190 and crosscheck.rs)."""
+    arr = as_text_array(text)
+    n = int(arr.shape[0])
+    tracer.log(f"bstar engine n={n}")
+    if n < 3:
+        sa = sort(arr)
+        tracer.dump("SA final", sa.sa)
+        tracer.flush()
+        return sa
+    tj = jnp.asarray(arr)
+    idx = _I32
+    seg_end, type_b, bstar = _classify(tj, idx)
+    tracer.log(
+        f"classify: B={int(jnp.sum(type_b))} "
+        f"B*={int(jnp.sum(bstar))} of {n}"
+    )
+    p, m = _extract_bstar(bstar, idx)
+    m_i = int(m)
+    tracer.dump("B* positions", np.asarray(p)[:m_i])
+    red = _name_and_rank(tj, p, m, idx)
+    tracer.dump("B* substring names", np.asarray(red)[:m_i])
+    sa_red, isa_red = _redsolve(red, idx, 6, (4, 32, 256), 4)
+    cap = int(p.shape[0])
+    sorted_bstar = np.asarray(p)[np.asarray(sa_red)[cap - m_i:]]
+    tracer.dump("sorted B* suffixes", sorted_bstar)
+    sa, _isa = build(tj, idx)
+    tracer.dump("SA final", sa)
+    tracer.flush()
+    return SuffixArray(arr, sa)

@@ -176,7 +176,7 @@ def _build_buckets(limit: int = 1 << 31) -> list[int]:
 _BUCKETS = _build_buckets()
 
 
-def _dc3(t: jnp.ndarray) -> jnp.ndarray:
+def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
     """Suffix array of int32 array `t` (values >= 1; 0 is reserved).
 
     Pads to the next size bucket with sentinel zeros before running the
@@ -197,11 +197,11 @@ def _dc3(t: jnp.ndarray) -> jnp.ndarray:
     m = _BUCKETS[bisect.bisect_left(_BUCKETS, n)]
     if m > n:
         t = jnp.concatenate([t, jnp.zeros((m - n,), _I32)])
-        return _dc3_core(t)[m - n :]
-    return _dc3_core(t)
+        return _dc3_core(t, tracer, level)[m - n :]
+    return _dc3_core(t, tracer, level)
 
 
-def _dc3_core(t: jnp.ndarray) -> jnp.ndarray:
+def _dc3_core(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
     n = int(t.shape[0])
     if n <= 3:
         host = np.asarray(t)
@@ -216,18 +216,26 @@ def _dc3_core(t: jnp.ndarray) -> jnp.ndarray:
 
     tpad = jnp.concatenate([t, jnp.zeros((3,), _I32)])
     pos_sorted, r, num_names = _sample_sort(tpad, n, n0, n02)
+    if tracer is not None:
+        tracer.log(f"level {level}: n={n} n02={n02} names={int(num_names)}")
+        tracer.dump(f"L{level} sample order", pos_sorted)
+        tracer.dump(f"L{level} names", r)
 
     if int(num_names) < n02:
         # recurse on the reduced string (values +1 keep 0 as sentinel)
-        sa_r = _dc3(r + 1)
+        sa_r = _dc3(r + 1, tracer, level + 1)
         sa12_all = _unrank_samples(sa_r, n0)
     else:
         sa12_all = pos_sorted
+    if tracer is not None:
+        tracer.dump(f"L{level} SA12", sa12_all)
 
     steps0 = _ceil_log2(n0 + 1) + 1
     n12 = n02 - (1 if drop_pad else 0)
     steps12 = _ceil_log2(n12 + 1) + 1
     sa = _finish(tpad, sa12_all, n, n0, drop_pad, steps0, steps12)
+    if tracer is not None:
+        tracer.dump(f"L{level} SA (merged)", sa)
     return sa
 
 
@@ -238,4 +246,21 @@ def sort(text) -> SuffixArray:
     if n == 0:
         return SuffixArray(arr, np.zeros((0,), np.int32))
     sa = _dc3(arr.astype(_I32) + 1)
+    return SuffixArray(arr, sa)
+
+
+def sort_traced(text, tracer) -> SuffixArray:
+    """Traced DC3 build: per-recursion-level phase dumps (sample order,
+    names, sample SA, merged SA), diffable against the other engines'
+    traces — the trace analog the reference threads through every phase
+    (ref: crates/divsufsort/src/crosscheck.rs)."""
+    arr = as_text_array(text)
+    n = int(arr.shape[0])
+    tracer.log(f"dc3 engine n={n}")
+    if n == 0:
+        sa = np.zeros((0,), np.int32)
+    else:
+        sa = _dc3(arr.astype(_I32) + 1, tracer, 0)
+    tracer.dump("SA final", sa)
+    tracer.flush()
     return SuffixArray(arr, sa)

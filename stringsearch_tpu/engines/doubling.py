@@ -282,7 +282,7 @@ def _shrink(g, pos, m2: int):
 
 @partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan"))
 def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
-                   levels: tuple = (4, 32, 256), fan: int = 4):
+                   levels: tuple = (4, 16, 64, 512), fan: int = 4):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
     One device program: a `depth`-byte initial sort, full doubling rounds

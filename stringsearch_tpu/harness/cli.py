@@ -144,22 +144,33 @@ def command_crosscheck(args) -> int:
 
     names = args.engines.split(",") if args.engines else ["doubling"]
     status = 0
+    wrote_oracle_trace = False
     for name in names:
-        if args.trace:
-            from stringsearch_tpu.harness.tracing import Tracer
-
-            if name == "doubling":
-                from stringsearch_tpu.engines.doubling import sort_traced
+        if name == "global":
+            sa = _build_global_index(data, args.trace)
+        elif args.trace:
+            traced = _traced_engine(name)
+            if traced is None:
+                print(
+                    f"warning: engine {name!r} has no traced build path; "
+                    "running untraced",
+                    file=sys.stderr,
+                )
+                sa = get_engine(name)(data)
+            else:
+                from stringsearch_tpu.harness.tracing import Tracer
 
                 with Tracer(f"crosscheck/{name}") as tr:
-                    sa = sort_traced(data, tr)
-                with Tracer("crosscheck/oracle") as tr:
-                    tr.log(f"oracle n={len(data)}")
-                    tr.dump("SA final", c_sa)
-            else:
-                sa = get_engine(name)(data)
+                    sa = traced(data, tr)
         else:
             sa = get_engine(name)(data)
+        if args.trace and not wrote_oracle_trace:
+            from stringsearch_tpu.harness.tracing import Tracer
+
+            with Tracer("crosscheck/oracle") as tr:
+                tr.log(f"oracle n={len(data)}")
+                tr.dump("SA final", c_sa)
+            wrote_oracle_trace = True
         sa.verify()
         got = np.asarray(sa.sa)
         if np.array_equal(got, c_sa):
@@ -171,6 +182,52 @@ def command_crosscheck(args) -> int:
             )
             status = 1
     return status
+
+
+def _traced_engine(name: str):
+    """Traced build entry for `name`, or None (ref crosscheck-feature
+    builds, crates/divsufsort/src/crosscheck.rs — every engine that can
+    trace does so through the same diffable Tracer format)."""
+    if name == "doubling":
+        from stringsearch_tpu.engines.doubling import sort_traced
+    elif name == "dc3":
+        from stringsearch_tpu.engines.dc3 import sort_traced
+    elif name == "bstar":
+        from stringsearch_tpu.engines.bstar import sort_traced
+    else:
+        return None
+    return sort_traced
+
+
+def _build_global_index(data: bytes, trace: bool):
+    """Crosscheck entry for the distributed global engine: build over a
+    mesh of all same-platform devices (1 device degenerates gracefully)
+    and adapt to the SuffixArray interface."""
+    import jax
+    from jax.sharding import Mesh
+
+    from stringsearch_tpu.parallel.global_sa import build_global
+
+    # follow the configured default device's platform (--device cpu must
+    # not silently build the mesh on the accelerator)
+    default = jax.config.jax_default_device
+    platform = default.platform if default is not None else \
+        jax.devices()[0].platform
+    devs = jax.devices(platform)
+    p = len(devs)
+    while p & (p - 1):
+        p -= 1
+    mesh = Mesh(np.array(devs[:p]), ("parts",))
+    if trace:
+        from stringsearch_tpu.harness.tracing import Tracer
+
+        with Tracer("crosscheck/global") as tr:
+            g = build_global(data, mesh, tracer=tr)
+            g.suffix_array()
+            tr.dump("SA final", g.suffix_array())
+    else:
+        g = build_global(data, mesh)
+    return g.to_suffix_array_index()
 
 
 def main(argv=None) -> int:

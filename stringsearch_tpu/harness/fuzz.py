@@ -105,7 +105,18 @@ def _check_engines(data: bytes, engines) -> str | None:
     return None
 
 
-def _check_partitioned(data: bytes, rng: np.random.Generator) -> str | None:
+def _input_rng(data: bytes) -> np.random.Generator:
+    """Deterministic RNG derived from the input bytes.
+
+    The partitioned check's needle draws come from here so a shrunken
+    crash artifact reproduces its failure from the file alone (the
+    reference's crash-<sha1> corpus has the same replay property,
+    ref: crates/divsufsort/src/lib.rs:31-92)."""
+    seed = int.from_bytes(hashlib.sha1(data).digest()[:8], "little")
+    return np.random.default_rng(seed)
+
+
+def _check_partitioned(data: bytes) -> str | None:
     """Partitioned query semantics vs the full index.
 
     Partitioned matches are DOCUMENTED as possibly shorter when every
@@ -122,6 +133,7 @@ def _check_partitioned(data: bytes, rng: np.random.Generator) -> str | None:
 
     if len(data) < 4:
         return None
+    rng = _input_rng(data)
     full = build_suffix_array(data)
     nparts = int(rng.choice([2, 3, 4]))
     part = PartitionedSuffixArray(data, nparts)
@@ -183,13 +195,17 @@ def _make_mesh():
     return Mesh(np.array(devs[:n]), ("parts",))
 
 
-def _check(data: bytes, engines, targets, rng, mesh) -> str | None:
+def _check(data: bytes, engines, targets, mesh) -> str | None:
+    """Run every selected target check on `data`.
+
+    Deterministic in `data`: any randomness (partitioned needles) is
+    seeded from the input bytes, so crash artifacts replay exactly."""
     if "engines" in targets:
         err = _check_engines(data, engines)
         if err:
             return err
     if "partitioned" in targets:
-        err = _check_partitioned(data, rng)
+        err = _check_partitioned(data)
         if err:
             return err
     if "global" in targets and mesh is not None:
@@ -199,8 +215,8 @@ def _check(data: bytes, engines, targets, rng, mesh) -> str | None:
     return None
 
 
-def _shrink(data: bytes, engines, targets, rng, mesh) -> bytes:
-    """Greedy bisection shrink of a failing input."""
+def _shrink(data: bytes, engines, targets, mesh) -> bytes:
+    """Greedy bisection shrink of a failing input (deterministic)."""
     changed = True
     while changed and len(data) > 1:
         changed = False
@@ -208,7 +224,7 @@ def _shrink(data: bytes, engines, targets, rng, mesh) -> bytes:
             if cut == 0:
                 continue
             for cand in (data[cut:], data[:-cut]):
-                if cand and _check(cand, engines, targets, rng, mesh) is not None:
+                if cand and _check(cand, engines, targets, mesh) is not None:
                     data = cand
                     changed = True
                     break
@@ -230,6 +246,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--out", default="fuzz-crashes")
+    ap.add_argument(
+        "--replay", default=None, metavar="FILE",
+        help="re-run the checks on a crash artifact and exit "
+             "(deterministic: needles are derived from the bytes)",
+    )
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -242,6 +263,14 @@ def main(argv=None) -> int:
     engines = args.engines.split(",")
     targets = set(args.targets.split(","))
     mesh = _make_mesh() if "global" in targets else None
+
+    if args.replay is not None:
+        with open(args.replay, "rb") as f:
+            data = f.read()
+        err = _check(data, engines, targets, mesh)
+        print(f"replay {args.replay} ({len(data)}B): "
+              f"{err if err else 'no failure'}")
+        return 1 if err else 0
     lens = _length_pool(rng, args.max_len)
     print(
         f"fuzzing targets={sorted(targets)} engines={engines} seed={seed} "
@@ -253,10 +282,10 @@ def main(argv=None) -> int:
     for i in range(args.iters):
         n = int(rng.choice(lens))
         data = _mutate(rng, n)
-        err = _check(data, engines, targets, rng, mesh)
+        err = _check(data, engines, targets, mesh)
         if err is not None:
             failures += 1
-            shrunk = _shrink(data, engines, targets, rng, mesh)
+            shrunk = _shrink(data, engines, targets, mesh)
             digest = hashlib.sha1(shrunk).hexdigest()
             os.makedirs(args.out, exist_ok=True)
             path = os.path.join(args.out, f"crash-{digest}")

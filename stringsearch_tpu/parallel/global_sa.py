@@ -274,6 +274,67 @@ def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple, fan: int):
     )
 
 
+@functools.lru_cache(maxsize=256)
+def _jit_query(mesh: Mesh, text_mode: str, chunk: int, n: int, n_pad: int,
+               steps: int, m_width: int):
+    """Cached compiled distributed-query executable.
+
+    Keyed by everything the trace closes over (mesh, mode, shard
+    geometry, text length, search depth, needle width): repeated query
+    batches with the same shapes reuse the compiled program instead of
+    re-tracing a fresh jit wrapper per call — the same pattern as
+    `_jit_block` on the build path."""
+    from stringsearch_tpu.core import compare as cmp
+    from stringsearch_tpu.core.search import lcs_kernel, lcs_loop
+    from stringsearch_tpu.parallel.gather import sharded_gather_windows
+
+    def reduce_over_shards(start, length, nds):
+        # mask pad suffixes (start >= n) and clamp matches at the
+        # real end of text (a \x00-bearing needle must not extend
+        # into zero pad)
+        length = jnp.minimum(length, n - start)
+        length = jnp.where(start < n, length, -1)
+        all_len = jax.lax.all_gather(length, _AXIS, axis=0)  # [P, B]
+        all_start = jax.lax.all_gather(start, _AXIS, axis=0)
+        best_p = jnp.argmax(all_len, axis=0)
+        best_len = jnp.maximum(jnp.max(all_len, axis=0), 0)
+        best_start = jnp.take_along_axis(all_start, best_p[None, :], axis=0)[0]
+        return best_start, best_len
+
+    def per_shard_replicated(sa_slice, text_full, nds):
+        start, _ = lcs_kernel(text_full, sa_slice, nds, steps)
+        windows = cmp.gather_window(text_full, start[None, :], nds.shape[-1])[0]
+        length = cmp.prefix_match_len(windows, nds)
+        return reduce_over_shards(start, length, nds)
+
+    def per_shard_sharded(sa_slice, text_shard, nds):
+        def windows_at(pos):
+            starts = jnp.take(sa_slice, jnp.clip(pos, 0, chunk - 1))
+            win = sharded_gather_windows(
+                text_shard, starts, m_width, _AXIS
+            ).astype(jnp.int32)
+            offs = jnp.arange(m_width, dtype=jnp.int32)
+            inb = (starts[:, None] + offs[None, :]) < n_pad
+            return starts, jnp.where(inb, win, cmp.PAST_TEXT_END)
+
+        start, length = lcs_loop(windows_at, chunk, nds, steps)
+        return reduce_over_shards(start, length, nds)
+
+    if text_mode == "replicated":
+        fn, text_spec = per_shard_replicated, P()
+    else:
+        fn, text_spec = per_shard_sharded, P(_AXIS)
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(_AXIS), text_spec, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 class GlobalSuffixArray:
     """Exact suffix array of a mesh-sharded text (multi-chip, one index).
 
@@ -287,7 +348,8 @@ class GlobalSuffixArray:
     """
 
     def __init__(self, text: BytesLike, mesh: Mesh, idx=_I32,
-                 depth: int = INITIAL_DEPTH, fan: int = 3):
+                 depth: int = INITIAL_DEPTH, fan: int = 3, tracer=None):
+        self._tracer = tracer
         if _AXIS not in mesh.shape:
             raise ValueError(f'mesh must have a "{_AXIS}" axis')
         if depth % 4 or depth < 4:
@@ -323,6 +385,12 @@ class GlobalSuffixArray:
         rank, sa, done = _jit_init(mesh, self.depth, idx)(self.text_padded)
         h = self.depth
         self.rounds_run = 0
+        if self._tracer is not None:
+            self._tracer.log(
+                f"global engine n={self.n} shards={p} chunk={chunk} "
+                f"depth={self.depth} fan={self.fan}"
+            )
+            self._tracer.dump(f"rank h={self.depth}", np.asarray(rank))
         # h saturates at n_pad, where the marker round resolves every
         # remaining tie (raw-byte conflation means a count-based early
         # exit is unsound; the saturated round is the guaranteed finisher)
@@ -335,6 +403,13 @@ class GlobalSuffixArray:
                 mesh, chunk, p, idx, tuple(hs), self.fan
             )(rank, sa, done)
             self.rounds_run += len(hs)
+            if self._tracer is not None:
+                self._tracer.log(
+                    f"block rounds={self.rounds_run} h->{h} "
+                    f"done={bool(done)}"
+                )
+                self._tracer.dump(f"rank after {self.rounds_run} rounds",
+                                  np.asarray(rank))
             if self.rounds_run > 2 * n_pad.bit_length() + 2 * ROUNDS_PER_DISPATCH:
                 raise AssertionError(
                     "global doubling failed to converge — bug"
@@ -370,15 +445,11 @@ class GlobalSuffixArray:
           device ever holds more than text/P — the mode for texts
           larger than one chip's HBM.
         """
-        from stringsearch_tpu.core import compare as cmp
         from stringsearch_tpu.core.search import (
             _ceil_log2,
             _needle_batch_to_windows,
-            lcs_kernel,
-            lcs_loop,
         )
         from stringsearch_tpu.core.types import LongestCommonSubstring
-        from stringsearch_tpu.parallel.gather import sharded_gather_windows
 
         if text_mode not in ("replicated", "sharded"):
             raise ValueError(f"unknown text_mode {text_mode!r}")
@@ -386,63 +457,12 @@ class GlobalSuffixArray:
             return []
         padded, _lens, width = _needle_batch_to_windows(needles)
         needles_dev = jnp.asarray(padded)
-        n, mesh, chunk = self.n, self.mesh, self.chunk_len
+        n, chunk = self.n, self.chunk_len
         n_pad = chunk * self.num_shards
         steps = _ceil_log2(chunk + 1) + 1
         m_width = padded.shape[-1]
-
-        def reduce_over_shards(start, length, nds):
-            # mask pad suffixes (start >= n) and clamp matches at the
-            # real end of text (a \x00-bearing needle must not extend
-            # into zero pad)
-            length = jnp.minimum(length, n - start)
-            length = jnp.where(start < n, length, -1)
-            all_len = jax.lax.all_gather(length, _AXIS, axis=0)  # [P, B]
-            all_start = jax.lax.all_gather(start, _AXIS, axis=0)
-            best_p = jnp.argmax(all_len, axis=0)
-            best_len = jnp.maximum(jnp.max(all_len, axis=0), 0)
-            best_start = jnp.take_along_axis(all_start, best_p[None, :], axis=0)[0]
-            return best_start, best_len
-
-        def per_shard_replicated(sa_slice, text_full, nds):
-            start, _ = lcs_kernel(text_full, sa_slice, nds, steps)
-            windows = cmp.gather_window(text_full, start[None, :], nds.shape[-1])[0]
-            length = cmp.prefix_match_len(windows, nds)
-            return reduce_over_shards(start, length, nds)
-
-        def per_shard_sharded(sa_slice, text_shard, nds):
-            def windows_at(pos):
-                starts = jnp.take(sa_slice, jnp.clip(pos, 0, chunk - 1))
-                win = sharded_gather_windows(
-                    text_shard, starts, m_width, _AXIS
-                ).astype(jnp.int32)
-                offs = jnp.arange(m_width, dtype=jnp.int32)
-                inb = (starts[:, None] + offs[None, :]) < n_pad
-                return starts, jnp.where(inb, win, cmp.PAST_TEXT_END)
-
-            start, length = lcs_loop(windows_at, chunk, nds, steps)
-            return reduce_over_shards(start, length, nds)
-
-        if text_mode == "replicated":
-            query = jax.jit(
-                jax.shard_map(
-                    per_shard_replicated,
-                    mesh=mesh,
-                    in_specs=(P(_AXIS), P(), P()),
-                    out_specs=(P(), P()),
-                    check_vma=False,
-                )
-            )
-        else:
-            query = jax.jit(
-                jax.shard_map(
-                    per_shard_sharded,
-                    mesh=mesh,
-                    in_specs=(P(_AXIS), P(_AXIS), P()),
-                    out_specs=(P(), P()),
-                    check_vma=False,
-                )
-            )
+        query = _jit_query(self.mesh, text_mode, chunk, n, n_pad, steps,
+                           m_width)
         start, length = query(self._sa_sharded, self.text_padded, needles_dev)
         start = np.asarray(start)
         length = np.asarray(length)
@@ -464,6 +484,11 @@ class GlobalSuffixArray:
 
 
 def build_global(text: BytesLike, mesh: Mesh, idx=_I32,
-                 depth: int = INITIAL_DEPTH, fan: int = 3) -> GlobalSuffixArray:
-    """Build the exact global SA of `text` sharded over `mesh`'s "parts"."""
-    return GlobalSuffixArray(text, mesh, idx=idx, depth=depth, fan=fan)
+                 depth: int = INITIAL_DEPTH, fan: int = 3,
+                 tracer=None) -> GlobalSuffixArray:
+    """Build the exact global SA of `text` sharded over `mesh`'s "parts".
+
+    Pass a `harness.tracing.Tracer` to dump the sharded rank state per
+    round block (the distributed analog of the engines' `--trace`)."""
+    return GlobalSuffixArray(text, mesh, idx=idx, depth=depth, fan=fan,
+                             tracer=tracer)

@@ -59,6 +59,24 @@ def test_cli_crosscheck_ok(sample_file, capsys, tmp_path, monkeypatch):
     assert tail_a == tail_b
 
 
+def test_cli_crosscheck_trace_all_engines(sample_file, capsys, tmp_path,
+                                          monkeypatch):
+    """--trace writes comparable phase dumps for EVERY engine (VERDICT
+    r2: dc3/global ran untraced and silently)."""
+    monkeypatch.chdir(tmp_path)
+    assert main([
+        "crosscheck", sample_file, "1k", "--trace",
+        "--engines", "doubling,dc3,bstar,global",
+    ]) == 0
+    for name in ("doubling", "dc3", "bstar", "global", "oracle"):
+        assert os.path.exists(f"crosscheck/{name}"), name
+    # every engine trace ends with the same final-SA dump as the oracle
+    want = open("crosscheck/oracle").read().split(":: SA final")[-1]
+    for name in ("doubling", "dc3", "bstar", "global"):
+        got = open(f"crosscheck/{name}").read().split(":: SA final")[-1]
+        assert got == want, name
+
+
 def test_cli_bench_table(sample_file, capsys):
     assert main(["bench", sample_file, "2k", "--engines", "doubling,oracle"]) == 0
     out = capsys.readouterr().out
