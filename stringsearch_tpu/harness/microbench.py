@@ -93,6 +93,33 @@ def op_costs(log_n: int, reps: int = 5) -> dict:
     add("topk_n256",
         lambda a: jax.lax.top_k(-a, n // 256), r32)
     add("gather", lambda a, p: jnp.take(a, p), r32, perm)
+    # gather cost is index-pattern-INSENSITIVE on TPU (measured r3):
+    # monotone and small-table lookups cost the same as random — the
+    # reason every hot path uses slices/sorts, never per-element gathers
+    add("gather_monotone", lambda a, p: jnp.take(a, p), r32, jnp.sort(perm))
+    add("gather_table256",
+        lambda t, i: jnp.take(t, i),
+        jnp.arange(256, dtype=jnp.int32), r32 & 255)
+    # row-slice gather (vmapped dynamic_slice): the one cheap gather form
+    nrows = max(n // 4096, 1)
+    starts = jax.random.randint(jax.random.PRNGKey(5), (nrows,), 0,
+                                max(n - 4096, 1), jnp.int32)
+    add("slice_gather_rows4096",
+        lambda a, s: jax.vmap(
+            lambda st: jax.lax.dynamic_slice_in_dim(a, st, 4096))(s),
+        r32, starts)
+    # batched (segmented) sorts: 3-6x cheaper per element than flat —
+    # the r3 probe result behind the compaction cascade's width shrinking
+    if n >= (1 << 16):
+        b = n // 4096
+        a2 = r32.reshape(b, 4096)
+        p2 = jnp.broadcast_to(jnp.arange(4096, dtype=jnp.int32), (b, 4096))
+        add("batched_sort_1key_2op_rows4096",
+            lambda a, p: jax.lax.sort((a, p), num_keys=1, dimension=1),
+            a2, p2)
+        ks5 = tuple(k.reshape(b, 4096) for k in ks6[:5])
+        add("batched_sort_5key_6op_rows4096",
+            lambda *a: jax.lax.sort(a, num_keys=5, dimension=1), *ks5, p2)
     add("scatter_set", lambda a, p: jnp.zeros_like(a).at[p].set(a), r32, perm)
     add("scatter_via_sort",
         lambda p, v: jax.lax.sort((p, v), num_keys=1)[1], perm, r32)
@@ -192,6 +219,9 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--depth", type=int, default=24, help="initial key bytes")
     args = p.parse_args()
+    from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.mode == "ops":
         res = op_costs(args.n, args.reps)
         for k, v in res.items():
