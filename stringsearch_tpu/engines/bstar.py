@@ -372,7 +372,7 @@ def _induce(elem_sel, w1, w2, nxt_arr, hops: int, idx=_I32):
 
 @partial(jax.jit, static_argnames=("idx", "hops", "red_depth", "red_fan",
                                    "red_levels", "w0_words"))
-def build(text: jnp.ndarray, idx=_I32, hops: int = 3, red_depth: int = 6,
+def build(text: jnp.ndarray, idx=_I32, hops: int = 4, red_depth: int = 6,
           red_fan: int = 4, red_levels: tuple = (4, 32, 256),
           w0_words: int = 4):
     """Fused B*-reduction SA construction. Returns (sa, isa), [n] each."""
