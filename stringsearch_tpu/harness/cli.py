@@ -249,9 +249,12 @@ def main(argv=None) -> int:
     ap.add_argument("--reps", type=int, default=20, help="timing reps for `queries`")
     args = ap.parse_args(argv)
 
-    from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
+    if args.device != "cpu":
+        from stringsearch_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
 
-    enable_persistent_cache()
+        enable_persistent_cache()
 
     if args.device == "cpu":
         import jax

@@ -253,6 +253,12 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.device != "cpu":
+        from stringsearch_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
     if args.device == "cpu":
         import jax
 
@@ -296,10 +302,12 @@ def main(argv=None) -> int:
         if (i + 1) % 25 == 0:
             print(f"[{i + 1}/{args.iters}] ok so far, {failures} failures",
                   flush=True)
-        if (i + 1) % 50 == 0:
+        if (i + 1) % 500 == 0:
             # long campaigns accumulate one compiled executable per
             # (length, target) pair; drop them before the process hits
-            # memory limits (they recompile on demand)
+            # memory limits. With the persistent compile cache enabled
+            # (main(), below) re-compiles after a clear are disk loads,
+            # so this no longer caps campaign throughput.
             import jax
 
             jax.clear_caches()

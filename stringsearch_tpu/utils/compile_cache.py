@@ -21,13 +21,21 @@ _DEFAULT_DIR = os.environ.get(
 )
 
 
-def enable_persistent_cache() -> None:
-    """Turn on jax's persistent compilation cache (idempotent)."""
+def enable_persistent_cache(for_cpu: bool = False) -> None:
+    """Turn on jax's persistent compilation cache (idempotent).
+
+    Off for CPU-backend runs unless `for_cpu`: XLA:CPU AOT results
+    loaded cross-process can carry machine-feature mismatches (observed
+    "+prefer-no-gather not supported on the host machine ... could lead
+    to SIGILL" warnings), and CPU compiles are cheap anyway — the cache
+    pays off on the remote-TPU path, where compiles cost minutes."""
     if os.environ.get("STRINGSEARCH_TPU_NO_COMPILE_CACHE"):
         return
     import jax
 
     try:
+        if not for_cpu and jax.default_backend() == "cpu":
+            return
         os.makedirs(_DEFAULT_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _DEFAULT_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
