@@ -284,6 +284,8 @@ def main(argv=None) -> int:
         flush=True,
     )
 
+    clear_every = int(os.environ.get("STRINGSEARCH_TPU_FUZZ_CLEAR_EVERY",
+                                     "250"))
     failures = 0
     for i in range(args.iters):
         n = int(rng.choice(lens))
@@ -302,12 +304,11 @@ def main(argv=None) -> int:
         if (i + 1) % 25 == 0:
             print(f"[{i + 1}/{args.iters}] ok so far, {failures} failures",
                   flush=True)
-        if (i + 1) % 500 == 0:
+        if (i + 1) % clear_every == 0:
             # long campaigns accumulate one compiled executable per
             # (length, target) pair; drop them before the process hits
-            # memory limits. With the persistent compile cache enabled
-            # (main(), below) re-compiles after a clear are disk loads,
-            # so this no longer caps campaign throughput.
+            # memory limits (tunable: a larger interval trades memory
+            # headroom for fewer recompile cycles)
             import jax
 
             jax.clear_caches()

@@ -26,7 +26,7 @@ def _load(name: str) -> bytes:
 
 
 @pytest.mark.parametrize("name", CASES)
-@pytest.mark.parametrize("engine", ["doubling", "dc3"])
+@pytest.mark.parametrize("engine", ["doubling", "dc3", "bstar"])
 def test_corpus_replay(name, engine):
     from stringsearch_tpu import oracle
     from stringsearch_tpu.engines import get_engine
