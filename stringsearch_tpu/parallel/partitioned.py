@@ -38,7 +38,7 @@ from stringsearch_tpu.core import compare as cmp
 from stringsearch_tpu.core.search import (
     _ceil_log2,
     _needle_batch_to_windows,
-    lcs_kernel,
+    lcs_loop,
 )
 from stringsearch_tpu.core.types import (
     BytesLike,
@@ -71,10 +71,25 @@ def partitioned_query(chunks, sas, full_text, real_lens, needles, lens, steps: i
     p, chunk_len = chunks.shape
     m_width = needles.shape[-1]
 
-    # per-partition LCS candidates: [P, B]
-    starts, _lengths = jax.vmap(lambda c, s: lcs_kernel(c, s, needles, steps))(
-        chunks, sas
-    )
+    # per-partition LCS candidates: [P, B]. The in-chunk comparison masks
+    # positions at or past the partition's REAL length to the past-end
+    # sentinel: pad zeros must not inflate a near-end suffix's apparent
+    # match (fuzz-found: the pad-contaminated candidate "\x00"+pad beat
+    # the real "\x00\x00..." occurrence for a zero-leading needle). The
+    # padded-chunk SA order is identical under this comparator — zero
+    # padding is order-safe and ties break by length in the same
+    # direction (see module doc) — so the binary search stays valid.
+    def query_one(chunk, sa, real_len):
+        def windows_at(pos):
+            starts = jnp.take(sa, jnp.clip(pos, 0, chunk_len - 1))
+            win = cmp.gather_window(chunk, starts, m_width)
+            offs = jnp.arange(m_width, dtype=jnp.int32)
+            inb = (starts[:, None] + offs[None, :]) < real_len
+            return starts, jnp.where(inb, win, cmp.PAST_TEXT_END)
+
+        return lcs_loop(windows_at, chunk_len, needles, steps)
+
+    starts, _lengths = jax.vmap(query_one)(chunks, sas, real_lens)
 
     offsets = (jnp.arange(p, dtype=jnp.int32) * chunk_len)[:, None]
     global_starts = starts + offsets  # [P, B]
@@ -140,6 +155,22 @@ class PartitionedSuffixArray:
             self.chunks, self.sas = self._build_with_callable(
                 padded, num_partitions, None, engine_name=engine
             )
+        # Pad suffixes (all-zero strings) are the lexicographically
+        # smallest suffixes of a padded chunk, so they occupy exactly the
+        # first `pad` slots of its SA. A zero-leading needle's binary
+        # search would surface one of them as the partition's single
+        # candidate, which the validity mask then discards — losing real
+        # in-partition matches (fuzz-found: needle b"\x00" returned no
+        # match with 36 zeros in the text). Overwrite those slots with
+        # duplicates of the smallest REAL suffix: the array stays sorted,
+        # and the search can only ever return real candidates.
+        pad_counts = jnp.asarray(part, jnp.int32) - self.real_lens  # [P]
+        if pad:
+            cols = jnp.arange(part, dtype=jnp.int32)[None, :]
+            fix = jnp.maximum(
+                cols, jnp.minimum(pad_counts[:, None], part - 1)
+            )
+            self.sas = jnp.take_along_axis(self.sas, fix, axis=1)
         self._host_text: Optional[np.ndarray] = None
 
     @staticmethod

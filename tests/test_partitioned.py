@@ -72,3 +72,32 @@ def test_batched_queries():
     ms = p.longest_substring_match_batch(needles)
     assert ms[0].len == 6
     assert ms[2].len == 0
+
+
+def test_zero_needle_pad_suffix_regression():
+    """Fuzz-found (r3): with a padded last chunk, the all-zero pad
+    suffixes occupy the first SA slots and hijacked the binary-search
+    candidate for zero-leading needles, and pad zeros inflated
+    chunk-space match lengths near the chunk end — both losing real
+    in-partition matches. Replays the committed crasher and pins the
+    invariant: any needle with an in-partition optimal occurrence gets
+    the full-index match length."""
+    import os
+
+    from stringsearch_tpu import PartitionedSuffixArray, build_suffix_array
+    from stringsearch_tpu.harness.fuzz import _check_partitioned
+
+    path = os.path.join(
+        os.path.dirname(__file__), "corpus",
+        "crash-5dda27cbb7c0dab35e49099e851dbc00edc1a4fe",
+    )
+    with open(path, "rb") as f:
+        data = f.read()
+    assert _check_partitioned(data) is None
+    full = build_suffix_array(data)
+    part = PartitionedSuffixArray(data, 2)
+    for nd in (b"\x00", b"\x00\x00", b"\x00\x00\x00"):
+        got = part.longest_substring_match(nd)
+        want = full.longest_substring_match(nd)
+        assert got.len == want.len, nd
+        assert data[got.start : got.start + got.len] == nd[: got.len]
