@@ -106,13 +106,27 @@ def main() -> None:
         sa, _isa = build_with_isa(t, depth=_auto_depth(int(t.shape[0])))
         return sa
 
+    # provenance stamp for every sizes entry written by THIS run, so
+    # carried-over entries from older engine revisions are identifiable
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(__file__) or ".",
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        rev = "unknown"
+    stamp = {"rev": rev, "date": time.strftime("%Y-%m-%d")}
+
     # headline: doubling engine at the full size
     text = jnp.asarray(text_host)
     _log(f"doubling @ {size} B (depth {_auto_depth(size)}) ...")
     dt, sa = _bench_build(doubling_build, text, reps)
     bps = size / dt
     detail["sizes"][str(size)] = {"doubling_bytes_per_s": round(bps, 1),
-                                  "wall_s": round(dt, 4)}
+                                  "wall_s": round(dt, 4), **stamp}
     _log(f"doubling: {dt:.3f}s -> {bps/1e6:.1f} MB/s")
 
     # correctness gate: the benched output must verify
@@ -133,7 +147,7 @@ def main() -> None:
             dts, _ = _bench_build(doubling_build, ts, reps)
             detail["sizes"][str(small)] = {
                 "doubling_bytes_per_s": round(small / dts, 1),
-                "wall_s": round(dts, 4)}
+                "wall_s": round(dts, 4), **stamp}
             _log(f"doubling @ {small}: {dts:.3f}s -> {small/dts/1e6:.1f} MB/s")
     # the dc3 second engine: opt-in via BENCH_DC3 — its host-driven
     # recursion compiles one program per level and the remote-compile
@@ -164,9 +178,12 @@ def main() -> None:
             prev = json.load(f)
         if "recorded_metrics" in prev:
             detail["recorded_metrics"] = prev["recorded_metrics"]
-        # keep sizes measured by earlier runs that this run didn't touch
+        # keep sizes measured by earlier runs that this run didn't touch,
+        # but only when they carry a provenance stamp (rev/date) so a
+        # stale unstamped number can't silently read as current
         for k, v in prev.get("sizes", {}).items():
-            detail["sizes"].setdefault(k, v)
+            if isinstance(v, dict) and "rev" in v:
+                detail["sizes"].setdefault(k, v)
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as f:

@@ -232,34 +232,57 @@ def _name_and_rank(text, p, m, idx=_I32, w0_words: int = 4,
     # whole (group members beyond the pair may resolve against them)
     live = jnp.sum(unres.astype(idx))
 
-    def ext_cond(st):
-        return st[0] > 0
+    def _ext_stage(ext_w: int, max_rounds, st):
+        """Extension rounds at a static window width of `ext_w` words.
 
-    def ext_body(st):
-        _live, offset, head, k_s = st
-        p_s = jnp.take(p, k_s)
-        wl_s = jnp.take(wlen, k_s)
-        words, lenk = _window_words(p4, p_s, wl_s, offset, ext_words, n)
-        out = device_sort((head,) + tuple(words) + (lenk, k_s),
-                          num_keys=1 + ext_words + 1)
-        head_old, k_s = out[0], out[-1]
-        eq = head_old[1:] == head_old[:-1]
-        for ws in out[1:-1]:
-            eq = eq & (ws[1:] == ws[:-1])
-        new_flag = jnp.concatenate([jnp.ones((min(cap, 1),), bool), ~eq])
-        head = jax.lax.cummax(jnp.where(new_flag, k, jnp.asarray(-1, idx)))
-        wl_s = jnp.take(wlen, k_s)
-        capped = wl_s > offset + 4 * ext_words
-        unres = jnp.concatenate(
-            [jnp.zeros((min(cap, 1),), bool),
-             eq & (capped[1:] | capped[:-1])]
-        )
-        return (jnp.sum(unres.astype(idx)), offset + 4 * ext_words,
-                head, k_s)
+        Widths must be static (sort operand shapes), so geometric growth
+        is expressed as a chain of stages: each stage's while_loop runs
+        at most `max_rounds` rounds (None = until resolved) at 4*ext_w
+        bytes per round. The chain 1x/2x/4x then unbounded 8x bounds the
+        round count on long-common-prefix B* windows at
+        ~3 + max_window/(32*ext_words) instead of max_window/(4*ext_words)
+        full sorts, without unbounded operand counts.
+        """
 
-    _live, _off, head, k_s = jax.lax.while_loop(
-        ext_cond, ext_body, (live, jnp.asarray(span, idx), head, k_s)
-    )
+        def cond(s):
+            ok = s[0] > 0
+            if max_rounds is not None:
+                ok = ok & (s[4] < max_rounds)
+            return ok
+
+        def body(s):
+            _live, offset, head, k_s, r = s
+            p_s = jnp.take(p, k_s)
+            wl_s = jnp.take(wlen, k_s)
+            words, lenk = _window_words(p4, p_s, wl_s, offset, ext_w, n)
+            out = device_sort((head,) + tuple(words) + (lenk, k_s),
+                              num_keys=1 + ext_w + 1)
+            head_old, k_s = out[0], out[-1]
+            eq = head_old[1:] == head_old[:-1]
+            for ws in out[1:-1]:
+                eq = eq & (ws[1:] == ws[:-1])
+            new_flag = jnp.concatenate(
+                [jnp.ones((min(cap, 1),), bool), ~eq])
+            head = jax.lax.cummax(
+                jnp.where(new_flag, k, jnp.asarray(-1, idx)))
+            wl_s = jnp.take(wlen, k_s)
+            capped = wl_s > offset + 4 * ext_w
+            unres = jnp.concatenate(
+                [jnp.zeros((min(cap, 1),), bool),
+                 eq & (capped[1:] | capped[:-1])]
+            )
+            return (jnp.sum(unres.astype(idx)), offset + 4 * ext_w,
+                    head, k_s, r + 1)
+
+        live, offset, head, k_s, _r = jax.lax.while_loop(
+            cond, body, st + (jnp.asarray(0, idx),))
+        return live, offset, head, k_s
+
+    st = (live, jnp.asarray(span, idx), head, k_s)
+    for ext_w, rounds in ((ext_words, 1), (2 * ext_words, 1),
+                          (4 * ext_words, 1), (8 * ext_words, None)):
+        st = _ext_stage(ext_w, rounds, st)
+    _live, _off, head, k_s = st
     # names back to B*-index order (k_s is a permutation of 0..cap)
     _, name = device_sort((k_s, head), num_keys=1)
     return jnp.where(k < m, name, k - jnp.asarray(cap, idx))

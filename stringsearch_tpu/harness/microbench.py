@@ -100,13 +100,16 @@ def op_costs(log_n: int, reps: int = 5) -> dict:
     add("gather_table256",
         lambda t, i: jnp.take(t, i),
         jnp.arange(256, dtype=jnp.int32), r32 & 255)
-    # row-slice gather (vmapped dynamic_slice): the one cheap gather form
-    nrows = max(n // 4096, 1)
+    # row-slice gather (vmapped dynamic_slice): the one cheap gather form.
+    # Row width shrinks with n so the probe stays valid for tiny --n
+    # (dynamic_slice requires width <= n).
+    row_w = min(4096, n)
+    nrows = max(n // row_w, 1)
     starts = jax.random.randint(jax.random.PRNGKey(5), (nrows,), 0,
-                                max(n - 4096, 1), jnp.int32)
-    add("slice_gather_rows4096",
+                                max(n - row_w, 1), jnp.int32)
+    add(f"slice_gather_rows{row_w}",
         lambda a, s: jax.vmap(
-            lambda st: jax.lax.dynamic_slice_in_dim(a, st, 4096))(s),
+            lambda st: jax.lax.dynamic_slice_in_dim(a, st, row_w))(s),
         r32, starts)
     # batched (segmented) sorts: 3-6x cheaper per element than flat —
     # the r3 probe result behind the compaction cascade's width shrinking
