@@ -202,17 +202,31 @@ def _full_round(rank, h, idx=_I32, fan: int = 2):
     return _ranks_from_sorted(out, idx)
 
 
-def _extract(rank_s, sa_s, m: int, idx=_I32):
+def _extract(rank_s, sa_s, m: int, idx=_I32, method: str = "topk"):
     """Compact the members of all tied groups into capacity-m arrays.
 
     Returns (g [m], pos [m]): group-head ranks and text positions, sorted
     by g (groups contiguous). Pad slots carry g = sentinel, pos = n.
+
+    Two implementations with identical outputs (sorted ranks are a
+    permutation-stable key; lax.top_k breaks value ties by ascending
+    index, matching the stable sort):
+      - "topk": lax.top_k of the negated masked key — cost scales with m
+        (measured numbers in BENCH_DETAIL.json extract_variants);
+      - "sort": full-width 1-key sort — the fallback if top_k regresses
+        on some backend.
     """
     n = rank_s.shape[0]
     j = jnp.arange(n, dtype=idx)
     nxt_head = jnp.concatenate([rank_s[1:], jnp.full((1,), -1, idx)])
     tied = (rank_s != j) | (nxt_head == rank_s)
     key = jnp.where(tied, rank_s, _sent(idx))
+    if method == "topk":
+        negv, idxs = jax.lax.top_k(-key, m)
+        g = -negv
+        pos = jnp.where(g == _sent(idx), jnp.asarray(n, idx),
+                        jnp.take(sa_s, idxs))
+        return g, pos
     ks, pos = device_sort((key, sa_s), num_keys=1)
     g = ks[:m]
     pos = jnp.where(g == _sent(idx), n, pos[:m])
@@ -280,9 +294,11 @@ def _shrink(g, pos, m2: int):
     return g2[:m2], p2[:m2]
 
 
-@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan"))
+@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan",
+                                   "extract", "adaptive"))
 def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
-                   levels: tuple = (4, 16, 64, 512), fan: int = 4):
+                   levels: tuple = (4, 16, 64, 512), fan: int = 4,
+                   extract: str = "topk", adaptive: bool = True):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
     One device program: a `depth`-byte initial sort, full doubling rounds
@@ -306,10 +322,12 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
         raise ValueError("fan must be >= 2")
     rank0, sa0, rank_s0, count0 = _initial_full(text, idx, depth)
     h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
-    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan)
+    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
+                   extract, adaptive)
 
 
-def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan):
+def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
+            extract: str = "topk", adaptive: bool = True):
     """Doubling rounds + cascaded compaction from an initial ranking.
 
     The post-initial-sort core of `build_with_isa`, shared with the
@@ -354,32 +372,54 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan):
             h_n = jnp.minimum(jnp.minimum(h, n_i // fan + 1) * fan, n_i)
             return g, pos, rank, sa, h_n, count
 
-        g, pos = _extract(rank_s, sa, caps[0], idx)
-        for nxt in caps[1:]:
-            def cond_level(st, nxt=nxt):
-                return st[5] > nxt
+        def pyramid(i, args):
+            """Extract at level i's capacity, then run levels i..deepest."""
+            rank, sa, rank_s, h, count = args
+            g, pos = _extract(rank_s, sa, caps[i], idx, extract)
+            for nxt in caps[i + 1:]:
+                def cond_level(st, nxt=nxt):
+                    return st[5] > nxt
 
-            g, pos, rank, sa, h, count = jax.lax.while_loop(
-                cond_level, body, (g, pos, rank, sa, h, count)
+                g, pos, rank, sa, h, count = jax.lax.while_loop(
+                    cond_level, body, (g, pos, rank, sa, h, count)
+                )
+                g, pos = _shrink(g, pos, nxt)
+
+            def cond_last(st):
+                return st[5] > 0
+
+            _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
+                cond_last, body, (g, pos, rank, sa, h, count)
             )
-            g, pos = _shrink(g, pos, nxt)
+            return sa, rank
 
-        def cond_last(st):
-            return st[5] > 0
-
-        _g, _pos, rank, sa, _h, _count = jax.lax.while_loop(
-            cond_last, body, (g, pos, rank, sa, h, count)
+        if not adaptive or len(caps) == 1:
+            return pyramid(0, args)
+        # adaptive entry: extract straight into the deepest level whose
+        # capacity holds the live tied count, skipping the shallower
+        # extract + shrink passes entirely (count <= caps[0] is the
+        # full-round loop's exit condition, so sel >= 0). On text-like
+        # input the full rounds overshoot the first capacities by a lot
+        # (measured 2^28 enwik: one fan-4 round leaves 3.9% tied, well
+        # under n/16), so the static cascade's worst-case entry width
+        # would pay extract + shrink at n/4 for nothing.
+        sel = sum(
+            (count <= jnp.asarray(c, idx)).astype(jnp.int32) for c in caps
+        ) - 1
+        return jax.lax.switch(
+            sel, [partial(pyramid, i) for i in range(len(caps))], args
         )
-        return sa, rank
 
     return jax.lax.cond(
         count == 0, resolved, compact_tail, (rank, sa, rank_s, h, count)
     )
 
 
-@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan"))
+@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan",
+                                   "extract", "adaptive"))
 def build_ints_with_isa(seq: jnp.ndarray, idx=_I32, depth: int = 4,
-                        levels: tuple = (4, 32, 256), fan: int = 4):
+                        levels: tuple = (4, 32, 256), fan: int = 4,
+                        extract: str = "topk", adaptive: bool = True):
     """SA of an `idx`-typed integer sequence. Returns (sa, isa), [n] each.
 
     The doubling engine generalized from u8 text to an arbitrary integer
@@ -415,7 +455,8 @@ def build_ints_with_isa(seq: jnp.ndarray, idx=_I32, depth: int = 4,
     out = device_sort(keys + (j,), num_keys=depth)
     rank0, sa0, rank_s0, count0 = _ranks_from_sorted(out, idx)
     h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
-    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan)
+    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
+                   extract, adaptive)
 
 
 def build_adaptive(text: jnp.ndarray):

@@ -171,14 +171,20 @@ def _check_partitioned(data: bytes) -> str | None:
 
 
 def _check_global(data: bytes, mesh) -> str | None:
-    """Distributed exact global SA vs the oracle."""
+    """Distributed exact global SA vs the oracle + sharded self-verify."""
     from stringsearch_tpu import oracle
+    from stringsearch_tpu.core.types import NotSorted
     from stringsearch_tpu.parallel.global_sa import build_global
 
     want = oracle.build(data)
-    got = np.asarray(build_global(data, mesh).suffix_array())
+    g = build_global(data, mesh)
+    got = np.asarray(g.suffix_array())
     if not np.array_equal(got, want):
         return "global SA mismatch vs oracle"
+    try:
+        g.verify()  # the distributed no-materialization checker
+    except NotSorted as e:
+        return f"global sharded verify rejected a correct SA: {e}"
     return None
 
 

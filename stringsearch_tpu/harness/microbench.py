@@ -92,6 +92,11 @@ def op_costs(log_n: int, reps: int = 5) -> dict:
         lambda a: jax.lax.top_k(-a, n // 64), r32)
     add("topk_n256",
         lambda a: jax.lax.top_k(-a, n // 256), r32)
+    if n >= 16:
+        add("topk_n16",
+            lambda a: jax.lax.top_k(-a, n // 16), r32)
+        add("topk_n4",
+            lambda a: jax.lax.top_k(-a, n // 4), r32)
     add("gather", lambda a, p: jnp.take(a, p), r32, perm)
     # gather cost is index-pattern-INSENSITIVE on TPU (measured r3):
     # monotone and small-table lookups cost the same as random — the
@@ -215,12 +220,175 @@ def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
     return out
 
 
+def tied_curve(log_n: int, depth: int = 12, fan: int = 2,
+               reps: int = 2) -> dict:
+    """Tied-position counts vs resolved key depth on enwik-like text.
+
+    Drives the (depth, fan) configuration choice: full rounds are worth
+    their price exactly until the tied count fits a compaction level.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines import doubling as D
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    n = 1 << log_n
+    text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
+    init = jax.jit(D._initial_full, static_argnames=("depth",))
+    full = jax.jit(D._full_round, static_argnames=("fan",))
+
+    out = {"n": n, "depth": depth, "fan": fan, "rounds": []}
+    t0 = _timeit(lambda t: init(t, depth=depth), text, reps=reps)
+    rank, _sa, _rs, count = init(text, depth=depth)
+    out["t_initial"] = round(t0, 4)
+    out["rounds"].append({"h": depth, "tied": int(count),
+                          "frac": round(int(count) / n, 4)})
+    h = depth
+    while int(count) > n // 4096 and h < n:
+        t = _timeit(lambda r: full(r, jnp.asarray(h, jnp.int32), fan=fan),
+                    rank, reps=reps)
+        rank, _sa, _rs, count = full(rank, jnp.asarray(h, jnp.int32),
+                                     fan=fan)
+        h = min(h * fan, n)
+        out["rounds"].append({"h": h, "tied": int(count),
+                              "frac": round(int(count) / n, 4),
+                              "t_round": round(t, 4)})
+    return out
+
+
+def extract_variants(log_n: int, depth: int = 12, fan: int = 4,
+                     reps: int = 3) -> dict:
+    """Cost of tied-group extraction: full-width sort vs lax.top_k at
+    several capacities, measured on the real post-full-round state."""
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines import doubling as D
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    n = 1 << log_n
+    text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
+    init = jax.jit(D._initial_full, static_argnames=("depth",))
+    full = jax.jit(D._full_round, static_argnames=("fan",))
+    rank, sa_s, rank_s, count = init(text, depth=depth)
+    if int(count) > n // 4:
+        rank, sa_s, rank_s, count = full(
+            rank, jnp.asarray(depth, jnp.int32), fan=fan)
+    out = {"n": n, "tied": int(count)}
+    ex = jax.jit(D._extract, static_argnums=(2,), static_argnames=("method",))
+    for div in (4, 16, 64):
+        m = n // div
+        if m < int(count):
+            continue
+        for method in ("sort", "topk"):
+            t = _timeit(lambda rs, ss: ex(rs, ss, m, method=method),
+                        rank_s, sa_s, reps=reps)
+            out[f"{method}_m_n{div}"] = round(t, 4)
+    return out
+
+
+def bucketed_initial(log_n: int, reps: int = 3) -> dict:
+    """The bucketed-initial experiment: can a leading-key grouping sort +
+    batched per-bucket sorts beat one flat multi-key sort for the initial
+    ranking? (The reference's analog: per-(c0,c1)-bucket substring sorts,
+    ref crates/divsufsort/src/divsufsort.rs:163-200.)
+
+    Three formulations measured on enwik-like packed key words:
+      flat:        lax.sort((w0,w1,w2,j)) — the incumbent depth-12 initial;
+      carry+rows:  lax.sort((w0,w1,w2,j), num_keys=1) then a batched
+                   per-row 3-key sort of the [rows, n/rows] reshape — the
+                   payload-carrying regroup; NOTE rows are position blocks
+                   of the w0-sorted order, so w0-groups spanning row
+                   boundaries still need a repair pass this probe does NOT
+                   pay for (its number is a LOWER bound on the true cost);
+      gather+rows: 2-op grouping sort then n-width gathers of w1/w2 into
+                   the grouped order + the same batched row sort.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines import doubling as D
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    n = 1 << log_n
+    text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
+    w0, w1, w2 = D._pack4_keys(text, 12)
+    j = jnp.arange(n, dtype=jnp.int32)
+    rows = 4096
+    cols = n // rows
+    out = {"n": n, "rows": rows}
+
+    def flat(w0, w1, w2, j):
+        return jax.lax.sort((w0, w1, w2, j), num_keys=3)
+
+    def carry_rows(w0, w1, w2, j):
+        s0, s1, s2, sj = jax.lax.sort((w0, w1, w2, j), num_keys=1)
+        rs = jax.lax.sort(
+            tuple(x.reshape(rows, cols) for x in (s0, s1, s2, sj)),
+            num_keys=3, dimension=1)
+        return rs
+
+    def gather_rows(w0, w1, w2, j):
+        s0, sj = jax.lax.sort((w0, j), num_keys=1)
+        g1 = jnp.take(w1, sj)
+        g2 = jnp.take(w2, sj)
+        rs = jax.lax.sort(
+            tuple(x.reshape(rows, cols) for x in (s0, g1, g2, sj)),
+            num_keys=3, dimension=1)
+        return rs
+
+    out["flat_3key"] = round(
+        _timeit(jax.jit(flat), w0, w1, w2, j, reps=reps), 4)
+    out["carry_rows"] = round(
+        _timeit(jax.jit(carry_rows), w0, w1, w2, j, reps=reps), 4)
+    out["gather_rows"] = round(
+        _timeit(jax.jit(gather_rows), w0, w1, w2, j, reps=reps), 4)
+    return out
+
+
+def config_sweep(log_n: int, reps: int = 2, configs=None) -> dict:
+    """End-to-end fused build_with_isa wall time across configurations."""
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.engines.doubling import build_with_isa
+    from stringsearch_tpu.harness.corpus import enwik_like
+
+    n = 1 << log_n
+    text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
+    if configs is None:
+        configs = [
+            # r3 shipped configuration (the baseline)
+            dict(depth=12, fan=4, levels=(4, 16, 64, 512),
+                 extract="sort", adaptive=False),
+            dict(depth=12, fan=4, levels=(4, 16, 64, 512),
+                 extract="topk", adaptive=True),
+            dict(depth=12, fan=3, levels=(4, 16, 64, 512),
+                 extract="topk", adaptive=True),
+            dict(depth=12, fan=4, levels=(4, 32, 512),
+                 extract="topk", adaptive=True),
+            dict(depth=16, fan=4, levels=(4, 16, 64, 512),
+                 extract="topk", adaptive=True),
+        ]
+    out = {"n": n, "configs": []}
+    for cfg in configs:
+        t = _timeit(
+            lambda x: build_with_isa(x, **cfg)[0], text, reps=reps)
+        rec = {**{k: str(v) for k, v in cfg.items()},
+               "wall_s": round(t, 4), "mb_per_s": round(n / t / 1e6, 2)}
+        out["configs"].append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="microbench")
-    p.add_argument("mode", choices=["ops", "phases"])
+    p.add_argument("mode", choices=["ops", "phases", "tiedcurve",
+                                    "extract", "bucketed", "sweep"])
     p.add_argument("--n", type=int, default=24, help="log2 of element count")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--depth", type=int, default=24, help="initial key bytes")
+    p.add_argument("--fan", type=int, default=2)
     args = p.parse_args()
     from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -230,9 +398,18 @@ def main() -> None:
         for k, v in res.items():
             print(f"{k:28s} {v * 1e3:10.3f} ms")
         print(json.dumps({"log_n": args.n, **{k: round(v, 5) for k, v in res.items()}}))
-    else:
+    elif args.mode == "phases":
         res = phase_profile(args.n, args.reps, args.depth)
         print(json.dumps(res))
+    elif args.mode == "tiedcurve":
+        print(json.dumps(tied_curve(args.n, args.depth, args.fan, args.reps)))
+    elif args.mode == "extract":
+        print(json.dumps(extract_variants(args.n, args.depth,
+                                          max(args.fan, 2), args.reps)))
+    elif args.mode == "bucketed":
+        print(json.dumps(bucketed_initial(args.n, args.reps)))
+    elif args.mode == "sweep":
+        print(json.dumps(config_sweep(args.n, args.reps)))
 
 
 if __name__ == "__main__":

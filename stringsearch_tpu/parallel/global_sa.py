@@ -274,6 +274,72 @@ def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple, fan: int):
     )
 
 
+def _verify_shard(chunk_len: int, idx, text_chunk, rank_chunk, sa_chunk):
+    """Distributed ISA-recurrence verify — runs INSIDE shard_map.
+
+    The sharded re-expression of core/verify.py's O(n) characterisation
+    (itself the role of the reference's checkers,
+    ref: crates/sacabase/src/lib.rs:127-149 `verify` and
+    c-sources/utils.c:160-241 `sufcheck`): with rank = the claimed ISA in
+    text order, the SA is valid  ⟺
+      (1) rank is a permutation of [0, n_pad)
+      (2) the key (T[i], rank(i+1)) is strictly increasing when positions
+          are ordered by rank  (rank(n_pad) = -1: the empty suffix first)
+    Both reduce to ONE distributed 1-key sort by rank carrying
+    (first-byte, next-rank, position) payloads: sorted ranks must equal
+    the global iota, adjacent payload keys must be strictly increasing
+    (boundary via one ppermute), and the position payload must reproduce
+    the stored SA shards. No device ever materializes a full array.
+
+    Returns (ok scalar bool, bad: the smallest failing global sorted-order
+    slot, n_pad when ok) — replicated.
+    """
+    p = jax.lax.axis_size(_AXIS)
+    me = jax.lax.axis_index(_AXIS)
+    n_pad = chunk_len * p
+    gidx = _global_iota(chunk_len, idx)
+    # rank(i+1): local shift; the boundary value is the NEXT shard's
+    # first rank (one ppermute); the global last position gets -1
+    perm = [(i, (i - 1) % p) for i in range(p)]
+    nxt_first = jax.lax.ppermute(rank_chunk[:1], _AXIS, perm)
+    nxt_first = jnp.where(me == p - 1, jnp.full_like(nxt_first, -1),
+                          nxt_first)
+    rank_next = jnp.concatenate([rank_chunk[1:], nxt_first])
+    first = text_chunk.astype(idx)
+    r_s, fb_s, rn_s, pos_s = sharded_sort(
+        (rank_chunk, first, rank_next, gidx), _AXIS, num_keys=1)
+    perm_ok = jnp.all(r_s == gidx)
+    sa_ok = jnp.all(pos_s == sa_chunk)
+    prev = shift_in_from_prev(jnp.stack([fb_s[-1], rn_s[-1]]), _AXIS, -1)
+    fb_p = jnp.concatenate([prev[:1], fb_s[:-1]])
+    rn_p = jnp.concatenate([prev[1:2], rn_s[:-1]])
+    adj_ok = (fb_p < fb_s) | ((fb_p == fb_s) & (rn_p < rn_s))
+    adj_ok = adj_ok | (gidx == 0)  # the global first slot has no prev
+    bad_local = jnp.min(jnp.where(adj_ok, jnp.asarray(n_pad, idx), gidx))
+    bad = jax.lax.pmin(bad_local, _AXIS)
+    ok = jax.lax.pmin(
+        (perm_ok & sa_ok & jnp.all(adj_ok)).astype(jnp.int32), _AXIS
+    ) == 1
+    kind = jax.lax.pmin(
+        jnp.where(perm_ok, jnp.where(sa_ok, 2, 1), 0).astype(jnp.int32),
+        _AXIS,
+    )
+    return ok, bad, kind
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_verify(mesh: Mesh, chunk: int, idx):
+    return jax.jit(
+        jax.shard_map(
+            partial(_verify_shard, chunk, idx),
+            mesh=mesh,
+            in_specs=(P(_AXIS), P(_AXIS), P(_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=256)
 def _jit_query(mesh: Mesh, text_mode: str, chunk: int, n: int, n_pad: int,
                steps: int, m_width: int):
@@ -417,6 +483,38 @@ class GlobalSuffixArray:
         self.rank = rank  # ISA over the padded text, text order, sharded
         self._sa_sharded = sa  # sorted order, sharded
         self._sa_host: Optional[np.ndarray] = None
+
+    def verify(self) -> None:
+        """Distributed O(n/P)-per-device verification — no host SA.
+
+        Checks, entirely on the mesh (one distributed sort + local
+        compares + boundary ppermutes), that the stored sharded state is
+        THE suffix array of the padded text: rank is a permutation,
+        the ISA recurrence holds at every adjacent pair of the global
+        sorted order, and the sharded SA is rank's inverse. Raises
+        `NotSorted` like the single-device verifier (ref:
+        crates/sacabase/src/lib.rs:127-149); the sharded analog of the C
+        sufcheck oracle (ref: c-sources/utils.c:160-241). Unlike
+        `suffix_array()`, this never materializes a full-width array on
+        any single device, so it works for texts larger than one chip's
+        HBM — the regime this engine exists for.
+        """
+        from stringsearch_tpu.core.types import NotSorted
+
+        ok, bad, kind = _jit_verify(self.mesh, self.chunk_len, self.idx)(
+            self.text_padded, self.rank, self._sa_sharded
+        )
+        if bool(ok):
+            return
+        kind = int(kind)
+        if kind == 0:
+            raise NotSorted(0, 0, "global rank is not a permutation")
+        if kind == 1:
+            raise NotSorted(
+                0, 0, "sharded SA is not the inverse of the global rank"
+            )
+        i = max(int(bad) - self.pad, 0)
+        raise NotSorted(max(i - 1, 0), i)
 
     def suffix_array(self) -> np.ndarray:
         """The exact SA of the (unpadded) text as a host array [n]."""

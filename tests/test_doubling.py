@@ -35,6 +35,32 @@ def test_random_fuzz_parity():
         sa.verify()
 
 
+@pytest.mark.parametrize("extract", ["sort", "topk"])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_extract_variants_parity(corpus, extract, adaptive):
+    """Both extract implementations and both cascade-entry modes must be
+    byte-identical: extraction order is pinned by (stable sort == top_k's
+    ascending-index tie-break), and the adaptive switch only skips
+    no-op extract/shrink passes."""
+    from stringsearch_tpu.engines.doubling import build_with_isa
+
+    rng = np.random.default_rng(7)
+    cases = [data for data in corpus.values() if 3 <= len(data) <= 1500]
+    cases += [bytes(rng.integers(0, a, 700, dtype=np.uint8))
+              for a in (2, 4, 256)]
+    for data in cases:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        # shallow depth + tight levels force the compaction machinery on
+        sa, isa = build_with_isa(arr, depth=4, levels=(2, 8, 64), fan=2,
+                                 extract=extract, adaptive=adaptive)
+        want = naive_suffix_array(data)
+        assert np.array_equal(np.asarray(sa), want), (extract, adaptive,
+                                                      data[:40])
+        # the returned isa must be the exact inverse permutation
+        assert np.array_equal(np.asarray(isa)[np.asarray(sa)],
+                              np.arange(len(data))), (extract, adaptive)
+
+
 def test_short_inputs():
     for data, want in [
         (b"", []),

@@ -55,6 +55,51 @@ def test_global_regression_corpus(mesh8, name):
     np.testing.assert_array_equal(g.suffix_array(), naive_suffix_array(text))
 
 
+def test_global_sharded_verify_ok(mesh8):
+    for text in (enwik_like(5000, seed=9), b"banana" * 100,
+                 regression_corpus()["fibonacci"]):
+        build_global(text, mesh8).verify()
+
+
+def test_global_sharded_verify_catches_corruption(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    text = enwik_like(4000, seed=11)
+    g = build_global(text, mesh8)
+    g.verify()
+    sharding = NamedSharding(mesh8, P("parts"))
+
+    # corrupt the SA shards: swap two entries — inverse check must trip
+    sa = np.asarray(jax.device_get(g._sa_sharded)).copy()
+    sa[100], sa[200] = sa[200], sa[100]
+    good_sa = g._sa_sharded
+    g._sa_sharded = jax.device_put(sa, sharding)
+    with pytest.raises(st.NotSorted):
+        g.verify()
+    g._sa_sharded = good_sa
+
+    # corrupt rank into a non-permutation
+    rank = np.asarray(jax.device_get(g.rank)).copy()
+    rank[5] = rank[6]
+    g.rank = jax.device_put(rank, sharding)
+    with pytest.raises(st.NotSorted, match="permutation"):
+        g.verify()
+
+    # consistent swap of BOTH rank and sa (still a permutation and a
+    # consistent inverse, but not suffix order) — adjacency must trip
+    # with a concrete failing pair
+    g2 = build_global(text, mesh8)
+    rank = np.asarray(jax.device_get(g2.rank)).copy()
+    sa = np.asarray(jax.device_get(g2._sa_sharded)).copy()
+    a, b = int(sa[300]), int(sa[301])
+    rank[a], rank[b] = rank[b], rank[a]
+    sa[300], sa[301] = sa[301], sa[300]
+    g2.rank = jax.device_put(rank, sharding)
+    g2._sa_sharded = jax.device_put(sa, sharding)
+    with pytest.raises(st.NotSorted):
+        g2.verify()
+
+
 def test_global_non_divisible_lengths(mesh4):
     rng = np.random.default_rng(5)
     for n in (1, 2, 3, 5, 17, 101, 1003):
