@@ -175,6 +175,17 @@ def _build_buckets(limit: int = 1 << 31) -> list[int]:
 
 _BUCKETS = _build_buckets()
 
+#: below this padded size, recursion LEVELS >= 1 solve the reduced string
+#: with the generalized int-alphabet doubling core in ONE fused dispatch
+#: instead of ~log1.5 further host-driven dc3 levels. The deep recursion
+#: tail is where dc3's cost concentrates on TPU (each level pays several
+#: jit dispatches + a host sync on the name count — dispatch-latency-bound
+#: through the remote tunnel, measured in BENCH_DETAIL.json dc3_engine),
+#: while the differential-testing value of dc3 lives in the TOP levels'
+#: sample/merge machinery, which still runs in full (level 0 never takes
+#: this shortcut, so tiny inputs exercise real DC3 end to end).
+_SOLVE_THRESHOLD = 1 << 18
+
 
 def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
     """Suffix array of int32 array `t` (values >= 1; 0 is reserved).
@@ -195,6 +206,18 @@ def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
     import bisect
 
     m = _BUCKETS[bisect.bisect_left(_BUCKETS, n)]
+    if level > 0 and m <= _SOLVE_THRESHOLD:
+        # one-dispatch tail solve (ref recursion being cut:
+        # crates/dc3/src/lib.rs:103-114). Bucket-padding first keeps the
+        # solver's compiled-shape families identical to the dc3 levels'.
+        from stringsearch_tpu.engines.doubling import build_ints_with_isa
+
+        if m > n:
+            t = jnp.concatenate([t, jnp.zeros((m - n,), _I32)])
+        if tracer is not None:
+            tracer.log(f"level {level}: n={n} -> int-doubling tail solve")
+        sa, _isa = build_ints_with_isa(t)
+        return sa[m - n :]
     if m > n:
         t = jnp.concatenate([t, jnp.zeros((m - n,), _I32)])
         return _dc3_core(t, tracer, level)[m - n :]
