@@ -62,7 +62,7 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from stringsearch_tpu.engines.doubling import _auto_depth, build_with_isa
+    from stringsearch_tpu.engines.doubling import _auto_depth, build_sa
     from stringsearch_tpu.harness.corpus import enwik_like
 
     detail: dict = {"sizes": {}}
@@ -103,8 +103,9 @@ def main() -> None:
             pass
 
     def doubling_build(t):
-        sa, _isa = build_with_isa(t, depth=_auto_depth(int(t.shape[0])))
-        return sa
+        # the headline path: no ISA, so a build that resolves in the
+        # full-round loop skips the final inverse-permutation sort
+        return build_sa(t, depth=_auto_depth(int(t.shape[0])))
 
     # provenance stamp for every sizes entry written by THIS run, so
     # carried-over entries from older engine revisions are identifiable

@@ -210,8 +210,11 @@ def longest_substring_match_batch(
     padded, _lens, _w = _needle_batch_to_windows(needles)
     steps = _ceil_log2(n + 1) + 1
     start, length = lcs_kernel(index.text, index.sa, jnp.asarray(padded), steps)
-    start = np.asarray(start)
-    length = np.asarray(length)
+    # ONE device->host transfer for both results: through a remote-tunnel
+    # backend every fetch pays a round trip (measured ~15-25 ms each), so
+    # fetching start/length separately doubled the query-batch latency
+    both = np.asarray(jnp.stack([start, length]))
+    start, length = both[0], both[1]
     host = index.text_bytes()
     return [
         LongestCommonSubstring(host, int(start[i]), int(length[i]))
@@ -236,8 +239,8 @@ def sa_search_batch(
     count, left = sa_search_kernel(
         index.text, index.sa, jnp.asarray(padded), jnp.asarray(lens), steps
     )
-    count = np.asarray(count)
-    left = np.asarray(left)
+    both = np.asarray(jnp.stack([count, left]))  # one host fetch
+    count, left = both[0], both[1]
     return [(int(count[i]), int(left[i])) for i in range(len(needles))]
 
 

@@ -84,7 +84,7 @@ import numpy as np
 from stringsearch_tpu.core.types import SuffixArray, as_text_array
 from stringsearch_tpu.engines.doubling import (
     _heads_and_tied,
-    _ranks_from_sorted,
+    _ranks_sorted_only,
     _refine,
     _shift_ranks,
 )
@@ -486,10 +486,10 @@ def _redsolve(red, idx, depth, levels, fan):
         _shift_ranks(seq, jnp.asarray(t, idx)) for t in range(1, depth)
     )
     out = device_sort(keys + (k,), num_keys=depth)
-    rank0, sa0, rank_s0, count0 = _ranks_from_sorted(out, idx)
+    sa0, rank_s0, count0 = _ranks_sorted_only(out, idx)
     h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(cap, idx))
-    sa_red, isa_red = _refine(rank0, sa0, rank_s0, count0, h0, idx,
-                              levels, fan)
+    sa_red, isa_red = _refine(sa0, rank_s0, count0, h0, idx,
+                              levels, fan, want_isa=True)
     return sa_red, isa_red
 
 

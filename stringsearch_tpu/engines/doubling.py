@@ -148,10 +148,19 @@ def _heads_and_tied(new_flag_bool, j):
     return head, tied
 
 
-def _ranks_from_sorted(out, idx):
-    """Shared head-slot ranking for a sorted (keys..., payload) tuple.
+def _ranks_sorted_only(out, idx):
+    """Head-slot ranking of a sorted (keys..., payload) tuple — SORTED
+    order only, no inverse permutation. Returns (sa_s, rank_s, count).
 
-    Returns (rank_text_order, sa_s, rank_s, count_tied)."""
+    The text-order rank is deliberately NOT computed here: rounds invert
+    lazily (each round inverts its PREDECESSOR's ranks just before the
+    shifted-key fetch), so the final round of a build that resolves never
+    pays the inverse-permutation sort at all — on 256 MB enwik-like text
+    that is the difference between two and three full-width sort passes
+    after the initial (measured: the invert is ~1.7 s at 2^28, and
+    tied@48B is 0 so the last round's invert had no consumer besides the
+    optional ISA return).
+    """
     sa_s = out[-1]
     n = sa_s.shape[0]
     j = jnp.arange(n, dtype=idx)
@@ -160,18 +169,35 @@ def _ranks_from_sorted(out, idx):
         diff = diff | (ks[1:] != ks[:-1])
     new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), diff])
     rank_s, tied = _heads_and_tied(new_flag, j)
+    return sa_s, rank_s, jnp.sum(tied.astype(idx))
+
+
+def _ranks_from_sorted(out, idx):
+    """Shared head-slot ranking for a sorted (keys..., payload) tuple.
+
+    Returns (rank_text_order, sa_s, rank_s, count_tied)."""
+    sa_s, rank_s, count = _ranks_sorted_only(out, idx)
     rank = _scatter_to_text_order(sa_s, rank_s)
-    return rank, sa_s, rank_s, jnp.sum(tied.astype(idx))
+    return rank, sa_s, rank_s, count
 
 
-def _initial_full(text, idx=_I32, depth: int = 24):
-    """`depth`-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
+def _initial_sorted(text, idx=_I32, depth: int = 24):
+    """`depth`-byte initial sort, sorted-order state only.
+
+    Returns (sa_s, rank_s, count_tied) — no inverse permutation (see
+    `_ranks_sorted_only`)."""
     n = text.shape[0]
     keys = _pack4_keys(text, depth)
     j = jnp.arange(n, dtype=idx)
     out = device_sort(keys + (j,), num_keys=len(keys))
-    rank, _sa_s, rank_s, count = _ranks_from_sorted(out, idx)
-    return rank, out[-1], rank_s, count
+    return _ranks_sorted_only(out, idx)
+
+
+def _initial_full(text, idx=_I32, depth: int = 24):
+    """`depth`-byte initial sort. Returns (rank, sa_s, rank_s, count_tied)."""
+    sa_s, rank_s, count = _initial_sorted(text, idx, depth)
+    rank = _scatter_to_text_order(sa_s, rank_s)
+    return rank, sa_s, rank_s, count
 
 
 def _full_round(rank, h, idx=_I32, fan: int = 2):
@@ -188,6 +214,16 @@ def _full_round(rank, h, idx=_I32, fan: int = 2):
     key k+1, so ended suffixes still split shortest-first at the first
     key that reaches past them.
     """
+    sa_s, rank_s, count = _full_round_sorted(rank, h, idx, fan)
+    rank = _scatter_to_text_order(sa_s, rank_s)
+    return rank, sa_s, rank_s, count
+
+
+def _full_round_sorted(rank, h, idx=_I32, fan: int = 2):
+    """`_full_round` without the trailing inverse permutation.
+
+    Takes TEXT-order ranks, returns (sa_s, rank_s, count) in sorted
+    order — the lazy-invert round body (see `_ranks_sorted_only`)."""
     n = rank.shape[0]
     j = jnp.arange(n, dtype=idx)
     # k*h can overflow idx for huge n: cap h at n//k + 1 first (static n),
@@ -199,7 +235,7 @@ def _full_round(rank, h, idx=_I32, fan: int = 2):
         for k in range(1, fan)
     )
     out = device_sort(keys + (j,), num_keys=fan)
-    return _ranks_from_sorted(out, idx)
+    return _ranks_sorted_only(out, idx)
 
 
 def _extract(rank_s, sa_s, m: int, idx=_I32, method: str = "topk"):
@@ -298,7 +334,7 @@ def _shrink(g, pos, m2: int):
                                    "extract", "adaptive"))
 def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
                    levels: tuple = (4, 16, 64, 512), fan: int = 4,
-                   extract: str = "topk", adaptive: bool = True):
+                   extract: str = "auto", adaptive: bool = True):
     """Jittable fused SA construction. Returns (sa, isa) `idx`-typed [n].
 
     One device program: a `depth`-byte initial sort, full doubling rounds
@@ -320,20 +356,56 @@ def build_with_isa(text: jnp.ndarray, idx=_I32, depth: int = 24,
     if fan < 2:
         # fan=1 would make h_n == h so the while_loops never advance
         raise ValueError("fan must be >= 2")
-    rank0, sa0, rank_s0, count0 = _initial_full(text, idx, depth)
+    sa_s0, rank_s0, count0 = _initial_sorted(text, idx, depth)
     h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
-    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
-                   extract, adaptive)
+    return _refine(sa_s0, rank_s0, count0, h0, idx, levels, fan,
+                   extract, adaptive, want_isa=True)
 
 
-def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
-            extract: str = "topk", adaptive: bool = True):
-    """Doubling rounds + cascaded compaction from an initial ranking.
+@partial(jax.jit, static_argnames=("idx", "depth", "levels", "fan",
+                                   "extract", "adaptive"))
+def build_sa(text: jnp.ndarray, idx=_I32, depth: int = 24,
+             levels: tuple = (4, 16, 64, 512), fan: int = 4,
+             extract: str = "auto", adaptive: bool = True):
+    """`build_with_isa` without the ISA: skips the final inverse-
+    permutation sort when the build resolves inside the full-round loop
+    (the common case on text; ~1.7 s of the 2^28 budget). The headline
+    `sort()` path uses this."""
+    n = text.shape[0]
+    if depth % 4 or depth < 4:
+        raise ValueError("depth must be a positive multiple of 4")
+    if fan < 2:
+        raise ValueError("fan must be >= 2")
+    sa_s0, rank_s0, count0 = _initial_sorted(text, idx, depth)
+    h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
+    sa, _ = _refine(sa_s0, rank_s0, count0, h0, idx, levels, fan,
+                    extract, adaptive, want_isa=False)
+    return sa
+
+
+def _refine(sa_s0, rank_s0, count0, h0, idx, levels, fan,
+            extract: str = "auto", adaptive: bool = True,
+            want_isa: bool = True):
+    """Doubling rounds + cascaded compaction from a sorted initial state.
 
     The post-initial-sort core of `build_with_isa`, shared with the
     int-sequence build (`build_ints_with_isa`) that the B*-reduction
-    engine runs on its reduced string. Returns (sa, rank)."""
-    n = rank0.shape[0]
+    engine runs on its reduced string. Returns (sa, isa_or_alias).
+
+    LAZY INVERTS: the state between rounds is sorted-order only
+    (sa_s, rank_s); each full round inverts its predecessor's ranks to
+    text order just before the shifted-key fetch. A build that resolves
+    inside the full-round loop therefore never pays the final
+    inverse-permutation sort unless `want_isa` (measured 2^28: one fewer
+    ~1.7 s full-width pass — the single biggest cost cut of round 4;
+    with want_isa=False the second return value is an alias of `sa`).
+
+    `extract` = "sort" | "topk" | "auto": auto picks top_k only for
+    capacities <= n/32, where it measures cheaper than the full-width
+    sort (v5e @2^28: topk 1.06 s vs sort 1.33 s at n/64, but 2.8 s vs
+    1.33 s at n/4 — see BENCH_DETAIL.json extract_variants).
+    """
+    n = sa_s0.shape[0]
     n_i = jnp.asarray(n, idx)
     caps = [max(min(n, max(n // d, 64)), 1) for d in levels]
     # enforce non-increasing capacities after the n/64-floor clamps
@@ -341,28 +413,33 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
         caps[i] = min(caps[i], caps[i - 1])
 
     def cond1(st):
-        _rank, _sa, _rank_s, h, count = st
+        _sa_s, _rank_s, h, count = st
         # no `h < n` guard: conflated initial ranks (raw-byte zero pad)
         # mean short suffixes may need the h == n marker round to split;
         # that round always zeroes the count, so this terminates
         return count > caps[0]
 
     def body1(st):
-        rank, _sa, _rank_s, h, _count = st
-        rank, sa_s, rank_s, count = _full_round(rank, h, idx, fan)
+        sa_s, rank_s, h, _count = st
+        rank = _scatter_to_text_order(sa_s, rank_s)  # predecessor's invert
+        sa_s, rank_s, count = _full_round_sorted(rank, h, idx, fan)
         h_n = jnp.minimum(jnp.minimum(h, n_i // fan + 1) * fan, n_i)
-        return rank, sa_s, rank_s, h_n, count
+        return sa_s, rank_s, h_n, count
 
-    rank, sa, rank_s, h, count = jax.lax.while_loop(
-        cond1, body1, (rank0, sa0, rank_s0, h0, count0)
+    sa_s, rank_s, h, count = jax.lax.while_loop(
+        cond1, body1, (sa_s0, rank_s0, h0, count0)
     )
 
     def resolved(args):
-        rank, sa, _rank_s, _h, _count = args
-        return sa, rank
+        sa_s, rank_s, _h, _count = args
+        if want_isa:
+            return sa_s, _scatter_to_text_order(sa_s, rank_s)
+        return sa_s, sa_s
 
     def compact_tail(args):
-        rank, sa, rank_s, h, count = args
+        sa_s, rank_s, h, count = args
+        # the compact rounds' shifted-key gathers read text-order ranks
+        rank = _scatter_to_text_order(sa_s, rank_s)
 
         def body(st):
             g, pos, rank, sa, h, _count = st
@@ -375,7 +452,10 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
         def pyramid(i, args):
             """Extract at level i's capacity, then run levels i..deepest."""
             rank, sa, rank_s, h, count = args
-            g, pos = _extract(rank_s, sa, caps[i], idx, extract)
+            method = extract
+            if method == "auto":
+                method = "topk" if caps[i] * 32 <= n else "sort"
+            g, pos = _extract(rank_s, sa, caps[i], idx, method)
             for nxt in caps[i + 1:]:
                 def cond_level(st, nxt=nxt):
                     return st[5] > nxt
@@ -393,16 +473,13 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
             )
             return sa, rank
 
+        args = (rank, sa_s, rank_s, h, count)
         if not adaptive or len(caps) == 1:
             return pyramid(0, args)
         # adaptive entry: extract straight into the deepest level whose
         # capacity holds the live tied count, skipping the shallower
         # extract + shrink passes entirely (count <= caps[0] is the
-        # full-round loop's exit condition, so sel >= 0). On text-like
-        # input the full rounds overshoot the first capacities by a lot
-        # (measured 2^28 enwik: one fan-4 round leaves 3.9% tied, well
-        # under n/16), so the static cascade's worst-case entry width
-        # would pay extract + shrink at n/4 for nothing.
+        # full-round loop's exit condition, so sel >= 0).
         sel = sum(
             (count <= jnp.asarray(c, idx)).astype(jnp.int32) for c in caps
         ) - 1
@@ -411,7 +488,7 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
         )
 
     return jax.lax.cond(
-        count == 0, resolved, compact_tail, (rank, sa, rank_s, h, count)
+        count == 0, resolved, compact_tail, (sa_s, rank_s, h, count)
     )
 
 
@@ -419,7 +496,7 @@ def _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
                                    "extract", "adaptive"))
 def build_ints_with_isa(seq: jnp.ndarray, idx=_I32, depth: int = 4,
                         levels: tuple = (4, 32, 256), fan: int = 4,
-                        extract: str = "topk", adaptive: bool = True):
+                        extract: str = "auto", adaptive: bool = True):
     """SA of an `idx`-typed integer sequence. Returns (sa, isa), [n] each.
 
     The doubling engine generalized from u8 text to an arbitrary integer
@@ -453,10 +530,10 @@ def build_ints_with_isa(seq: jnp.ndarray, idx=_I32, depth: int = 4,
         _shift_ranks(seq, jnp.asarray(t, idx)) for t in range(1, depth)
     )
     out = device_sort(keys + (j,), num_keys=depth)
-    rank0, sa0, rank_s0, count0 = _ranks_from_sorted(out, idx)
+    sa_s0, rank_s0, count0 = _ranks_sorted_only(out, idx)
     h0 = jnp.minimum(jnp.asarray(depth, idx), jnp.asarray(n, idx))
-    return _refine(rank0, sa0, rank_s0, count0, h0, idx, levels, fan,
-                   extract, adaptive)
+    return _refine(sa_s0, rank_s0, count0, h0, idx, levels, fan,
+                   extract, adaptive, want_isa=True)
 
 
 def build_adaptive(text: jnp.ndarray):
@@ -552,5 +629,5 @@ def sort(text) -> SuffixArray:
         # equal first bytes → the shorter suffix (position 1) sorts first
         sa = [0, 1] if host[0] < host[1] else [1, 0]
         return SuffixArray(arr, np.asarray(sa, np.int32))
-    sa, _isa = build_with_isa(arr, depth=_auto_depth(n))
+    sa = build_sa(arr, depth=_auto_depth(n))
     return SuffixArray(arr, sa)

@@ -94,36 +94,42 @@ def command_queries(args) -> int:
     """Batched LCS query latency (the BASELINE.json query metric).
 
     Builds the doubling SA, then times `longest_substring_match_batch`
-    over a batch of needles sampled from the text (plus misses) and
-    reports p50/p95 batch latency and per-needle throughput.
+    over batches of needles sampled from the text (plus misses) and
+    reports p50/p95 batch latency and per-needle throughput. `--batch`
+    accepts a comma list (e.g. 64,256,1024,4096) to print the
+    batch-scaling curve in one invocation (one SA build, one line per
+    batch size).
     """
     from stringsearch_tpu.engines import get_engine
 
     data = _load_input(args.input, args.length)
-    batch = args.batch
-    rng = np.random.default_rng(0xBEEF)
-    needles = []
-    for i in range(batch):
-        if i % 8 == 7:  # every 8th needle is a guaranteed miss
-            needles.append(bytes(rng.integers(0, 256, 24, dtype=np.uint8)) + b"\xff\xfe")
-        else:
-            start = int(rng.integers(0, max(1, len(data) - 64)))
-            needles.append(data[start : start + int(rng.integers(4, 64))])
+    batches = [int(b) for b in str(args.batch).split(",") if b]
     sa = get_engine(args.engine)(data)
-    sa.longest_substring_match_batch(needles)  # warmup/compile
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        sa.longest_substring_match_batch(needles)
-        times.append(time.perf_counter() - t0)
-    ts = sorted(times)
-    p50 = ts[len(ts) // 2]
-    p95 = ts[min(len(ts) - 1, int(len(ts) * 0.95))]
-    print(
-        f"queries: batch={batch} reps={args.reps} "
-        f"p50={p50 * 1e3:.2f}ms p95={p95 * 1e3:.2f}ms "
-        f"({batch / p50:,.0f} needles/s)"
-    )
+    for batch in batches:
+        rng = np.random.default_rng(0xBEEF)
+        needles = []
+        for i in range(batch):
+            if i % 8 == 7:  # every 8th needle is a guaranteed miss
+                needles.append(
+                    bytes(rng.integers(0, 256, 24, dtype=np.uint8)) + b"\xff\xfe"
+                )
+            else:
+                start = int(rng.integers(0, max(1, len(data) - 64)))
+                needles.append(data[start : start + int(rng.integers(4, 64))])
+        sa.longest_substring_match_batch(needles)  # warmup/compile
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            sa.longest_substring_match_batch(needles)
+            times.append(time.perf_counter() - t0)
+        ts = sorted(times)
+        p50 = ts[len(ts) // 2]
+        p95 = ts[min(len(ts) - 1, int(len(ts) * 0.95))]
+        print(
+            f"queries: batch={batch} reps={args.reps} "
+            f"p50={p50 * 1e3:.2f}ms p95={p95 * 1e3:.2f}ms "
+            f"({batch / p50:,.0f} needles/s)"
+        )
     return 0
 
 
@@ -245,7 +251,8 @@ def main(argv=None) -> int:
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--verify", action="store_true", help="verify after `run`")
     ap.add_argument("--trace", action="store_true", help="write crosscheck/ trace dumps")
-    ap.add_argument("--batch", type=int, default=256, help="needle batch for `queries`")
+    ap.add_argument("--batch", default="256",
+                    help="needle batch for `queries`; comma list for a curve")
     ap.add_argument("--reps", type=int, default=20, help="timing reps for `queries`")
     args = ap.parse_args(argv)
 

@@ -170,21 +170,33 @@ def _check_partitioned(data: bytes) -> str | None:
     return None
 
 
-def _check_global(data: bytes, mesh) -> str | None:
-    """Distributed exact global SA vs the oracle + sharded self-verify."""
+def _check_global(data: bytes, mesh, idx64: bool = False) -> str | None:
+    """Distributed exact global SA vs the oracle + sharded self-verify.
+
+    (depth, fan) are randomized per input — derived from the input bytes
+    like the needle draws, so crash artifacts replay deterministically —
+    covering the non-default configurations the build path exposes.
+    """
+    import jax.numpy as jnp
+
     from stringsearch_tpu import oracle
     from stringsearch_tpu.core.types import NotSorted
     from stringsearch_tpu.parallel.global_sa import build_global
 
+    rng = _input_rng(data + b"/cfg")
+    depth = int(rng.choice([4, 8, 16]))
+    fan = int(rng.choice([2, 3, 4]))
+    idx = jnp.int64 if idx64 else jnp.int32
     want = oracle.build(data)
-    g = build_global(data, mesh)
+    g = build_global(data, mesh, idx=idx, depth=depth, fan=fan)
     got = np.asarray(g.suffix_array())
     if not np.array_equal(got, want):
-        return "global SA mismatch vs oracle"
+        return f"global SA mismatch vs oracle (depth={depth} fan={fan})"
     try:
         g.verify()  # the distributed no-materialization checker
     except NotSorted as e:
-        return f"global sharded verify rejected a correct SA: {e}"
+        return (f"global sharded verify rejected a correct SA "
+                f"(depth={depth} fan={fan}): {e}")
     return None
 
 
@@ -201,27 +213,50 @@ def _make_mesh():
     return Mesh(np.array(devs[:n]), ("parts",))
 
 
-def _check(data: bytes, engines, targets, mesh) -> str | None:
+def _check_engines_i64(data: bytes) -> str | None:
+    """64-bit index mode parity (ref: BUILD_DIVSUFSORT64,
+    c-sources/divsufsort_private.h:63-84) — the doubling engine with
+    idx=int64 must match the oracle exactly."""
+    import jax.numpy as jnp
+
+    from stringsearch_tpu import oracle
+    from stringsearch_tpu.engines.doubling import build_with_isa
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < 3:
+        return None
+    sa, _isa = build_with_isa(arr, idx=jnp.int64)
+    if not np.array_equal(np.asarray(sa), oracle.build(data)):
+        return "doubling idx=int64: mismatch vs oracle"
+    return None
+
+
+def _check(data: bytes, engines, targets, mesh, idx64: bool = False) -> str | None:
     """Run every selected target check on `data`.
 
-    Deterministic in `data`: any randomness (partitioned needles) is
-    seeded from the input bytes, so crash artifacts replay exactly."""
+    Deterministic in `data`: any randomness (partitioned needles, global
+    build configs) is seeded from the input bytes, so crash artifacts
+    replay exactly."""
     if "engines" in targets:
         err = _check_engines(data, engines)
         if err:
             return err
+        if idx64:
+            err = _check_engines_i64(data)
+            if err:
+                return err
     if "partitioned" in targets:
         err = _check_partitioned(data)
         if err:
             return err
     if "global" in targets and mesh is not None:
-        err = _check_global(data, mesh)
+        err = _check_global(data, mesh, idx64)
         if err:
             return err
     return None
 
 
-def _shrink(data: bytes, engines, targets, mesh) -> bytes:
+def _shrink(data: bytes, engines, targets, mesh, idx64: bool = False) -> bytes:
     """Greedy bisection shrink of a failing input (deterministic)."""
     changed = True
     while changed and len(data) > 1:
@@ -230,7 +265,8 @@ def _shrink(data: bytes, engines, targets, mesh) -> bytes:
             if cut == 0:
                 continue
             for cand in (data[cut:], data[:-cut]):
-                if cand and _check(cand, engines, targets, mesh) is not None:
+                if cand and _check(cand, engines, targets, mesh,
+                                   idx64) is not None:
                     data = cand
                     changed = True
                     break
@@ -257,8 +293,17 @@ def main(argv=None) -> int:
         help="re-run the checks on a crash artifact and exit "
              "(deterministic: needles are derived from the bytes)",
     )
+    ap.add_argument(
+        "--idx64", action="store_true",
+        help="also exercise the 64-bit index paths (doubling idx=int64 "
+             "parity; global build with idx=int64); enables jax x64",
+    )
     args = ap.parse_args(argv)
 
+    if args.idx64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if args.device != "cpu":
         from stringsearch_tpu.utils.compile_cache import (
             enable_persistent_cache,
@@ -279,7 +324,7 @@ def main(argv=None) -> int:
     if args.replay is not None:
         with open(args.replay, "rb") as f:
             data = f.read()
-        err = _check(data, engines, targets, mesh)
+        err = _check(data, engines, targets, mesh, args.idx64)
         print(f"replay {args.replay} ({len(data)}B): "
               f"{err if err else 'no failure'}")
         return 1 if err else 0
@@ -296,10 +341,10 @@ def main(argv=None) -> int:
     for i in range(args.iters):
         n = int(rng.choice(lens))
         data = _mutate(rng, n)
-        err = _check(data, engines, targets, mesh)
+        err = _check(data, engines, targets, mesh, args.idx64)
         if err is not None:
             failures += 1
-            shrunk = _shrink(data, engines, targets, mesh)
+            shrunk = _shrink(data, engines, targets, mesh, args.idx64)
             digest = hashlib.sha1(shrunk).hexdigest()
             os.makedirs(args.out, exist_ok=True)
             path = os.path.join(args.out, f"crash-{digest}")

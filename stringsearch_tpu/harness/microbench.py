@@ -348,33 +348,41 @@ def bucketed_initial(log_n: int, reps: int = 3) -> dict:
 
 
 def config_sweep(log_n: int, reps: int = 2, configs=None) -> dict:
-    """End-to-end fused build_with_isa wall time across configurations."""
+    """End-to-end fused build wall time across configurations.
+
+    `fn`: "sa" = build_sa (the headline path, no ISA / lazy final
+    invert), "isa" = build_with_isa (the r3-equivalent with ISA)."""
     import jax.numpy as jnp
 
-    from stringsearch_tpu.engines.doubling import build_with_isa
+    from stringsearch_tpu.engines.doubling import build_sa, build_with_isa
     from stringsearch_tpu.harness.corpus import enwik_like
 
     n = 1 << log_n
     text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
     if configs is None:
         configs = [
-            # r3 shipped configuration (the baseline)
-            dict(depth=12, fan=4, levels=(4, 16, 64, 512),
-                 extract="sort", adaptive=False),
-            dict(depth=12, fan=4, levels=(4, 16, 64, 512),
-                 extract="topk", adaptive=True),
-            dict(depth=12, fan=3, levels=(4, 16, 64, 512),
-                 extract="topk", adaptive=True),
-            dict(depth=12, fan=4, levels=(4, 32, 512),
-                 extract="topk", adaptive=True),
-            dict(depth=16, fan=4, levels=(4, 16, 64, 512),
-                 extract="topk", adaptive=True),
+            dict(fn="isa", depth=12, fan=4),  # r3-equivalent reference
+            dict(fn="sa", depth=12, fan=4),   # lazy-invert headline
+            dict(fn="sa", depth=12, fan=2),
+            dict(fn="sa", depth=16, fan=2),
+            dict(fn="sa", depth=16, fan=4),
         ]
     out = {"n": n, "configs": []}
     for cfg in configs:
-        t = _timeit(
-            lambda x: build_with_isa(x, **cfg)[0], text, reps=reps)
-        rec = {**{k: str(v) for k, v in cfg.items()},
+        cfg = dict(cfg)
+        if cfg.pop("fn", "sa") == "sa":
+            fn, run = build_sa, (lambda x: build_sa(x, **cfg))
+        else:
+            fn, run = build_with_isa, (lambda x: build_with_isa(x, **cfg)[0])
+        try:
+            t = _timeit(run, text, reps=reps)
+        except Exception as e:  # OOM candidates (deep initials) recorded
+            rec = {**{k: str(v) for k, v in cfg.items()},
+                   "fn": fn.__name__, "error": repr(e)[:160]}
+            out["configs"].append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
+        rec = {**{k: str(v) for k, v in cfg.items()}, "fn": fn.__name__,
                "wall_s": round(t, 4), "mb_per_s": round(n / t / 1e6, 2)}
         out["configs"].append(rec)
         print(json.dumps(rec), flush=True)

@@ -100,6 +100,22 @@ def _global_iota(chunk_len: int, idx):
     return me * chunk_len + jnp.arange(chunk_len, dtype=idx)
 
 
+def _gmax(x, _axis=None):
+    """Cross-shard max of a scalar via all_gather + local reduce.
+
+    TPU lowers 64-bit all-reduces only for SUM (measured on the v5e AOT
+    path: 'Supported lowering only of Sum all reduce' for an s64 pmax),
+    so the i64 index mode cannot use lax.pmax/pmin on ranks. An
+    all_gather of one scalar costs the same collective class and lowers
+    for every dtype.
+    """
+    return jnp.max(jax.lax.all_gather(x, _AXIS))
+
+
+def _gmin(x):
+    return jnp.min(jax.lax.all_gather(x, _AXIS))
+
+
 def _dense_ranks_from_sorted(eq_prev: jnp.ndarray, idx):
     """Global dense rank of each sorted element from `same as previous` flags.
 
@@ -158,7 +174,7 @@ def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
     # back to text order
     _, rank = sharded_sort((gidx_s, rank_s), _AXIS, num_keys=1)
     n_pad = length * p
-    done = jax.lax.pmax(jnp.max(rank_s), _AXIS) == n_pad - 1
+    done = _gmax(jnp.max(rank_s)) == n_pad - 1
     return rank, gidx_s, done
 
 
@@ -222,7 +238,7 @@ def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
     for i, ks in enumerate(keys_s):
         eq_prev = eq_prev & (ks == jnp.concatenate([prev[i : i + 1], ks[:-1]]))
     rank_s = _dense_ranks_from_sorted(eq_prev, idx)
-    done = jax.lax.pmax(jnp.max(rank_s), _AXIS) == n_pad - 1
+    done = _gmax(jnp.max(rank_s)) == n_pad - 1
     _, rank = sharded_sort((sa_s, rank_s), _AXIS, num_keys=1)
     return rank, sa_s, done
 
@@ -316,13 +332,10 @@ def _verify_shard(chunk_len: int, idx, text_chunk, rank_chunk, sa_chunk):
     adj_ok = (fb_p < fb_s) | ((fb_p == fb_s) & (rn_p < rn_s))
     adj_ok = adj_ok | (gidx == 0)  # the global first slot has no prev
     bad_local = jnp.min(jnp.where(adj_ok, jnp.asarray(n_pad, idx), gidx))
-    bad = jax.lax.pmin(bad_local, _AXIS)
-    ok = jax.lax.pmin(
-        (perm_ok & sa_ok & jnp.all(adj_ok)).astype(jnp.int32), _AXIS
-    ) == 1
-    kind = jax.lax.pmin(
-        jnp.where(perm_ok, jnp.where(sa_ok, 2, 1), 0).astype(jnp.int32),
-        _AXIS,
+    bad = _gmin(bad_local)
+    ok = _gmin((perm_ok & sa_ok & jnp.all(adj_ok)).astype(jnp.int32)) == 1
+    kind = _gmin(
+        jnp.where(perm_ok, jnp.where(sa_ok, 2, 1), 0).astype(jnp.int32)
     )
     return ok, bad, kind
 
@@ -562,8 +575,8 @@ class GlobalSuffixArray:
         query = _jit_query(self.mesh, text_mode, chunk, n, n_pad, steps,
                            m_width)
         start, length = query(self._sa_sharded, self.text_padded, needles_dev)
-        start = np.asarray(start)
-        length = np.asarray(length)
+        both = np.asarray(jnp.stack([start, length]))  # one host fetch
+        start, length = both[0], both[1]
         host = np.asarray(self.text_padded[: self.n])
         return [
             LongestCommonSubstring(host, int(start[i]), int(length[i]))

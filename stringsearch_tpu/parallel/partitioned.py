@@ -215,8 +215,8 @@ class PartitionedSuffixArray:
             jnp.asarray(lens),
             steps,
         )
-        start = np.asarray(start)
-        length = np.asarray(length)
+        both = np.asarray(jnp.stack([start, length]))  # one host fetch
+        start, length = both[0], both[1]
         return [
             LongestCommonSubstring(host, int(start[i]), int(length[i]))
             for i in range(len(needles))
