@@ -57,11 +57,14 @@ def measure(
         _chunks, sas, _lens = build_sharded(text, mesh)
         sync(sas)
 
+    last_build = {}
+
     def one_global(mesh):
         from stringsearch_tpu.parallel.global_sa import GlobalSuffixArray
 
         g = GlobalSuffixArray(text, mesh)  # _build runs in the constructor
         sync(g._sa_sharded)
+        last_build["gsa"] = g
 
     one = one_global if mode == "global" else one_partitioned
 
@@ -76,7 +79,10 @@ def measure(
             one(mesh)
             times.append(time.perf_counter() - t0)
         dt = min(times)
-        rows.append((k, dt, size / dt))
+        report = None
+        if mode == "global":
+            report = last_build["gsa"].comm_report()
+        rows.append((k, dt, size / dt, report))
         k *= 2
     return rows
 
@@ -86,6 +92,11 @@ def main(argv=None) -> int:
     ap.add_argument("size", nargs="?", default="4m", help="input size (k/m/g)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument(
+        "--ici-gbps", type=float, default=45.0,
+        help="assumed per-chip ICI bandwidth (GB/s) for the comm-model "
+        "projection (v5e: ~45 GB/s/link; partners within a tray)",
+    )
     ap.add_argument(
         "--mode",
         default="global",
@@ -105,9 +116,29 @@ def main(argv=None) -> int:
     base = rows[0][2]
     print(f"mode: {args.mode}")
     print(f"{'Shards':>6}  {'Time':>9}  {'Throughput':>14}  {'Efficiency':>10}")
-    for k, dt, bps in rows:
+    for k, dt, bps, _rep in rows:
         eff = bps / (base * k)
         print(f"{k:>6}  {dt:>8.3f}s  {format_throughput(bps):>14}  {eff:>9.1%}")
+    if args.mode == "global":
+        # the ICI communication model (parallel/comm_model.py): exact
+        # bytes each device exchanges for THIS build (actual round
+        # counts), wire time at --ici-gbps, and the projected REAL
+        # multi-chip efficiency bound compute/(compute+comm) with
+        # per-chip compute approximated by t(1 shard)/k. The virtual-CPU
+        # mesh's raw efficiency column above mixes substrate contention
+        # into the number; this model is what transfers to real chips.
+        t1 = rows[0][1]
+        print(f"\nICI comm model (per device, {args.ici_gbps:g} GB/s):")
+        print(f"{'Shards':>6}  {'Rounds':>6}  {'MB sent':>9}  "
+              f"{'Wire time':>9}  {'Proj. eff.':>10}")
+        for k, _dt, _bps, rep in rows:
+            if rep is None or k == 1:
+                continue
+            comm = rep.projected_comm_seconds(args.ici_gbps)
+            eff = rep.projected_efficiency(t1 / k, args.ici_gbps)
+            print(f"{k:>6}  {rep.rounds:>6}  "
+                  f"{rep.total_bytes / 1e6:>8.1f}M  {comm:>8.4f}s  "
+                  f"{eff:>9.1%}")
     return 0
 
 

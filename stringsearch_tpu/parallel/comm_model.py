@@ -1,0 +1,130 @@
+"""ICI communication model for the distributed global-SA build.
+
+Every collective in the build moves a statically known number of bytes
+(all shapes are static), so the per-device communication volume is exact
+arithmetic, not sampling. This is the evidence layer for the multi-chip
+scaling target (BASELINE: >= 80% efficiency at 2+ hosts): the virtual-CPU
+mesh can validate correctness but its `ppermute` is a host memcpy, so
+projected REAL efficiency must come from bytes-moved x ICI bandwidth
+against measured per-chip compute. (What is being surpassed:
+the reference's only parallelism is rayon threads over independent
+partitions with zero reconciliation, ref: crates/sacapart/src/lib.rs:45-51.)
+
+Communication inventory of one `GlobalSuffixArray` build (see
+parallel/global_sa.py, parallel/distsort.py):
+
+  initial:   1 sharded_sort over (depth/4 key words + gidx)   [nk+1 ops]
+             + 1 redistribute sharded_sort (gidx, rank)        [2 ops]
+             + 1 neighbor ppermute of `depth` bytes (window)
+  per round: (fan-1) rank-shift fetches, <= 2 chunk ppermutes each
+             + 1 sharded_sort over (rank, fan-1 shifts, gidx)  [fan+1 ops]
+             + 1 redistribute sharded_sort (gidx, rank)        [2 ops]
+             + O(1) scalar all_gathers (dense-rank offsets, done flag)
+
+One sharded_sort of P power-of-two shards is bitonic merge-split with
+S(P) = log2(P)*(log2(P)+1)/2 comparator stages; each stage exchanges the
+device's FULL chunk of every operand with its partner (ppermute), so a
+device sends (and receives) S(P) * L * ops * width bytes per sort.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+def merge_split_stages(p: int) -> int:
+    """Comparator stages of the bitonic merge-split network over p shards."""
+    if p <= 1:
+        return 0
+    lg = int(math.log2(p))
+    if 1 << lg != p:
+        raise ValueError("power-of-two shard count required")
+    return lg * (lg + 1) // 2
+
+
+def sharded_sort_bytes_per_device(p: int, chunk_elems: int, n_ops: int,
+                                  width: int = 4) -> int:
+    """Bytes SENT per device by one sharded_sort (receive volume equal)."""
+    return merge_split_stages(p) * chunk_elems * n_ops * width
+
+
+@dataclass
+class CommReport:
+    """Per-device communication totals for one global build."""
+
+    p: int
+    chunk_elems: int
+    rounds: int
+    fan: int
+    depth: int
+    idx_width: int
+    initial_bytes: int
+    per_round_bytes: int
+    total_bytes: int
+
+    def projected_comm_seconds(self, ici_gbytes_per_s: float) -> float:
+        """Wire time if sends ride ICI at the given per-chip bandwidth.
+
+        Bitonic merge-split partners are `me ^ j` — on a torus they are
+        up to j hops apart, so the single-link number is conservative for
+        large P; at P <= 8 within one v5e tray every partner is <= 2 hops.
+        """
+        return self.total_bytes / (ici_gbytes_per_s * 1e9)
+
+    def projected_efficiency(self, compute_seconds_per_chip: float,
+                             ici_gbytes_per_s: float) -> float:
+        """compute / (compute + comm), the model's scaling-efficiency bound.
+
+        `compute_seconds_per_chip` = the measured single-chip build time
+        of one chunk-sized problem (the work that doesn't shrink away);
+        overlap of compute with ICI transfers is NOT assumed (XLA does
+        overlap merge compute with the next exchange in practice, so this
+        is a lower bound on efficiency from the comm side).
+        """
+        comm = self.projected_comm_seconds(ici_gbytes_per_s)
+        return compute_seconds_per_chip / (compute_seconds_per_chip + comm)
+
+
+def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
+                      rounds: int | None = None,
+                      idx_width: int = 4) -> CommReport:
+    """Exact per-device communication volume of a GlobalSuffixArray build.
+
+    `rounds`: pass the actual `GlobalSuffixArray.rounds_run` when known;
+    defaults to the schedule bound ceil(log_fan(n_pad/depth)) + 1 (the
+    marker round), matching global_sa's h schedule.
+    """
+    chunk = max(-(-max(n, p) // p), 4)
+    n_pad = chunk * p
+    depth = max(4, min(depth, chunk) // 4 * 4)
+    if rounds is None:
+        rounds = 1 + max(0, math.ceil(
+            math.log(max(n_pad / depth, 1), fan)))
+    nk = depth // 4
+    init = (
+        sharded_sort_bytes_per_device(p, chunk, nk + 1)
+        + sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
+        + depth  # neighbor window ppermute
+    )
+    shift_ppermutes = 2 * (fan - 1)  # <= 2 chunk hops per shifted key
+    per_round = (
+        shift_ppermutes * chunk * idx_width
+        + sharded_sort_bytes_per_device(p, chunk, fan + 1, idx_width)
+        + sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
+    )
+    total = init + rounds * per_round
+    return CommReport(p=p, chunk_elems=chunk, rounds=rounds, fan=fan,
+                      depth=depth, idx_width=idx_width, initial_bytes=init,
+                      per_round_bytes=per_round, total_bytes=total)
+
+
+def report_for(gsa) -> CommReport:
+    """CommReport for an already-built GlobalSuffixArray (actual rounds)."""
+    import numpy as np
+
+    idx_width = int(np.dtype(gsa.idx).itemsize)
+    return global_build_comm(
+        gsa.n, gsa.num_shards, depth=gsa.depth, fan=gsa.fan,
+        rounds=gsa.rounds_run, idx_width=idx_width,
+    )

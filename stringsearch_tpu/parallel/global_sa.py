@@ -529,6 +529,13 @@ class GlobalSuffixArray:
         i = max(int(bad) - self.pad, 0)
         raise NotSorted(max(i - 1, 0), i)
 
+    def comm_report(self):
+        """Exact per-device ICI communication volume of THIS build
+        (parallel/comm_model.py; uses the actual rounds_run)."""
+        from stringsearch_tpu.parallel.comm_model import report_for
+
+        return report_for(self)
+
     def suffix_array(self) -> np.ndarray:
         """The exact SA of the (unpadded) text as a host array [n]."""
         if self._sa_host is None:

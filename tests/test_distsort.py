@@ -89,3 +89,45 @@ def test_exclusive_offset_and_shift(mesh8):
     np.testing.assert_array_equal(offs.reshape(8, 4)[:, 0], want_offs)
     want_prev = np.concatenate([[-7], chunks[:-1, -1]])
     np.testing.assert_array_equal(prevs.reshape(8, 4)[:, 0], want_prev)
+
+
+def test_comm_model_matches_build():
+    """The comm model's round count must match the actual build, and the
+    volume arithmetic must be consistent with the stage count."""
+    import jax
+
+    from stringsearch_tpu.harness.corpus import enwik_like
+    from stringsearch_tpu.parallel.comm_model import (
+        global_build_comm,
+        merge_split_stages,
+        sharded_sort_bytes_per_device,
+    )
+    from stringsearch_tpu.parallel.global_sa import build_global
+    from stringsearch_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual CPU devices")
+    mesh = make_mesh(4, batch_axis=1, devices=devs)
+    g = build_global(enwik_like(4000, seed=2), mesh)
+    rep = g.comm_report()
+    assert rep.rounds == g.rounds_run
+    assert rep.p == 4 and rep.chunk_elems == g.chunk_len
+    # volume arithmetic: stages(4) = 3; one (fan+1)-op sort + one 2-op
+    # redistribute + (fan-1) shift ppermutes (<=2 chunk hops each)
+    s = merge_split_stages(4)
+    assert s == 3
+    per_round = (
+        2 * (g.fan - 1) * g.chunk_len * 4
+        + sharded_sort_bytes_per_device(4, g.chunk_len, g.fan + 1)
+        + sharded_sort_bytes_per_device(4, g.chunk_len, 2)
+    )
+    assert rep.per_round_bytes == per_round
+    assert rep.total_bytes == rep.initial_bytes + rep.rounds * per_round
+    # schedule-bound default must not underestimate the actual rounds
+    bound = global_build_comm(g.n, 4, depth=g.depth, fan=g.fan)
+    assert bound.rounds >= rep.rounds
+    # projections are finite and sane
+    assert 0 < rep.projected_efficiency(0.1, 45.0) < 1
