@@ -86,14 +86,28 @@ class CommReport:
         return compute_seconds_per_chip / (compute_seconds_per_chip + comm)
 
 
+def redistribute_bytes_per_device(p: int, chunk_elems: int,
+                                  n_payloads: int = 1, width: int = 4,
+                                  cap_factor: int = 2) -> int:
+    """Bytes sent per device by `redistribute_permutation`'s fast path:
+    one all_to_all of (gidx + payload) buffers at static capacity
+    cap_factor * ceil(L/P) per destination. The adversarial fallback is
+    a full merge-split sort (`sharded_sort_bytes_per_device(p, L, 1 +
+    n_payloads)`); on text-like data the fast path is what runs."""
+    cap = min(chunk_elems, cap_factor * (-(-chunk_elems // p)))
+    return cap * p * (1 + n_payloads) * width
+
+
 def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
-                      rounds: int | None = None,
-                      idx_width: int = 4) -> CommReport:
+                      rounds: int | None = None, idx_width: int = 4,
+                      a2a_redistribute: bool = True) -> CommReport:
     """Exact per-device communication volume of a GlobalSuffixArray build.
 
     `rounds`: pass the actual `GlobalSuffixArray.rounds_run` when known;
     defaults to the schedule bound ceil(log_fan(n_pad/depth)) + 1 (the
     marker round), matching global_sa's h schedule.
+    `a2a_redistribute`: model the all_to_all rank redistribute (the
+    shipped fast path) rather than the merge-split fallback.
     """
     chunk = max(-(-max(n, p) // p), 4)
     n_pad = chunk * p
@@ -102,16 +116,20 @@ def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
         rounds = 1 + max(0, math.ceil(
             math.log(max(n_pad / depth, 1), fan)))
     nk = depth // 4
+    if a2a_redistribute:
+        redist = redistribute_bytes_per_device(p, chunk, 1, idx_width)
+    else:
+        redist = sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
     init = (
         sharded_sort_bytes_per_device(p, chunk, nk + 1)
-        + sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
+        + redist
         + depth  # neighbor window ppermute
     )
     shift_ppermutes = 2 * (fan - 1)  # <= 2 chunk hops per shifted key
     per_round = (
         shift_ppermutes * chunk * idx_width
         + sharded_sort_bytes_per_device(p, chunk, fan + 1, idx_width)
-        + sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
+        + redist
     )
     total = init + rounds * per_round
     return CommReport(p=p, chunk_elems=chunk, rounds=rounds, fan=fan,

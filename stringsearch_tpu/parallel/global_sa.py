@@ -79,6 +79,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from stringsearch_tpu.core.types import BytesLike, as_text_array
 from stringsearch_tpu.parallel.distsort import (
     exclusive_shard_offset,
+    redistribute_permutation,
     sharded_sort,
     shift_in_from_prev,
 )
@@ -171,8 +172,10 @@ def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
         (me == 0) & (jnp.arange(length) == 0)
     )
     rank_s = _dense_ranks_from_sorted(eq_prev, idx)
-    # back to text order
-    _, rank = sharded_sort((gidx_s, rank_s), _AXIS, num_keys=1)
+    # back to text order: gidx_s is a permutation, so this is one
+    # all_to_all (merge-split fallback on adversarial skew) instead of a
+    # full distributed sort — ~3x less redistribute wire volume at P=8
+    (rank,) = redistribute_permutation(gidx_s, (rank_s,), _AXIS)
     n_pad = length * p
     done = _gmax(jnp.max(rank_s)) == n_pad - 1
     return rank, gidx_s, done
@@ -239,7 +242,9 @@ def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
         eq_prev = eq_prev & (ks == jnp.concatenate([prev[i : i + 1], ks[:-1]]))
     rank_s = _dense_ranks_from_sorted(eq_prev, idx)
     done = _gmax(jnp.max(rank_s)) == n_pad - 1
-    _, rank = sharded_sort((sa_s, rank_s), _AXIS, num_keys=1)
+    # redistribute ranks to text order: sa_s is a permutation — one
+    # all_to_all instead of a full merge-split sort (see distsort)
+    (rank,) = redistribute_permutation(sa_s, (rank_s,), _AXIS)
     return rank, sa_s, done
 
 

@@ -90,16 +90,48 @@ def _unbwt_kernel(u: jnp.ndarray, pidx: jnp.ndarray, rounds: int):
     return out
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def _divbwt_fused(text: jnp.ndarray, depth: int):
+    """SA build + BWT emission in ONE device program.
+
+    The fused analog of the reference's `divbwt`/`construct_BWT`, which
+    computes the BWT during construction without handing a finished SA
+    back to the caller (ref: c-sources/divsufsort.c:256-324, 372-405):
+    the ISA-free build resolves to the final sorted order and the BWT
+    column gather runs in the same program — no second dispatch, no SA
+    round trip, and the build's lazy-invert saving applies (the SA
+    itself is consumed on-device).
+    """
+    from stringsearch_tpu.engines.doubling import build_sa
+
+    sa = build_sa(text, depth=depth)
+    n = text.shape[0]
+    pidx = jnp.argmax(sa == 0).astype(_I32)
+    col = jnp.concatenate(
+        [text[-1:], jnp.take(text, jnp.clip(sa - 1, 0, n - 1))]
+    )
+    k = jnp.arange(n, dtype=_I32)
+    u = jnp.take(col, k + (k > pidx).astype(_I32))
+    return u, pidx
+
+
 def bwt(text: BytesLike, sa=None, engine: str = "doubling") -> tuple[jnp.ndarray, int]:
     """BWT of `text`; builds the SA with `engine` if not supplied.
 
     Returns (u uint8 device array [n], pidx int). Matches the oracle's
-    `saca_bwt` byte-exactly.
+    `saca_bwt` byte-exactly. With no SA supplied and the default engine,
+    the build and the BWT emission run as one fused device program
+    (`_divbwt_fused`).
     """
     arr = as_text_array(text)
     n = int(arr.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.uint8), 0
+    if sa is None and engine == "doubling" and n >= 3:
+        from stringsearch_tpu.engines.doubling import _auto_depth
+
+        u, pidx = _divbwt_fused(arr, _auto_depth(n))
+        return u, int(pidx)
     if sa is None:
         from stringsearch_tpu.engines import build_suffix_array
 

@@ -100,6 +100,7 @@ def test_comm_model_matches_build():
     from stringsearch_tpu.parallel.comm_model import (
         global_build_comm,
         merge_split_stages,
+        redistribute_bytes_per_device,
         sharded_sort_bytes_per_device,
     )
     from stringsearch_tpu.parallel.global_sa import build_global
@@ -122,7 +123,7 @@ def test_comm_model_matches_build():
     per_round = (
         2 * (g.fan - 1) * g.chunk_len * 4
         + sharded_sort_bytes_per_device(4, g.chunk_len, g.fan + 1)
-        + sharded_sort_bytes_per_device(4, g.chunk_len, 2)
+        + redistribute_bytes_per_device(4, g.chunk_len, 1)
     )
     assert rep.per_round_bytes == per_round
     assert rep.total_bytes == rep.initial_bytes + rep.rounds * per_round
@@ -131,3 +132,48 @@ def test_comm_model_matches_build():
     assert bound.rounds >= rep.rounds
     # projections are finite and sane
     assert 0 < rep.projected_efficiency(0.1, 45.0) < 1
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_redistribute_permutation_matches_sort(skewed):
+    """The all_to_all redistribute must equal the merge-split sort result
+    on both the fast path (uniform permutation) and the fallback
+    (adversarially skewed: whole shards map to one destination, which
+    overflows the per-pair capacity and trips the psum'd fallback)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from stringsearch_tpu.parallel.distsort import (
+        redistribute_permutation,
+        sharded_sort,
+    )
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    p, L = 4, 64
+    n = p * L
+    rng = np.random.default_rng(3 if skewed else 4)
+    if skewed:
+        # identity-ish permutation: every element stays on its own shard
+        # -> one (src == dst) pair holds L > cap elements -> fallback
+        perm = np.arange(n)
+        perm[:L] = np.roll(perm[:L], 7)
+    else:
+        perm = rng.permutation(n)
+    gidx = jnp.asarray(perm, jnp.int32)
+    vals = jnp.asarray(rng.integers(0, 1 << 30, n), jnp.int32)
+    mesh = Mesh(np.array(devs[:p]), ("parts",))
+
+    def run_fast(g, v):
+        return redistribute_permutation(g, (v,), "parts")
+
+    def run_sort(g, v):
+        return sharded_sort((g, v), "parts", num_keys=1)[1:]
+
+    kw = dict(mesh=mesh, in_specs=(P("parts"), P("parts")),
+              out_specs=(P("parts"),), check_vma=False)
+    got = jax.jit(jax.shard_map(run_fast, **kw))(gidx, vals)[0]
+    want = jax.jit(jax.shard_map(run_sort, **kw))(gidx, vals)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
