@@ -56,9 +56,21 @@ def _sample_sort(tpad, n: int, n0: int, n02: int):
     mod2 = 2 + 3 * jnp.arange(n02 - n0, dtype=_I32)
     s12 = jnp.concatenate([mod1, mod2])
     del lim
-    k0 = jnp.take(tpad, s12)
-    k1 = jnp.take(tpad, s12 + 1)
-    k2 = jnp.take(tpad, s12 + 2)
+    n2 = n02 - n0
+
+    def tri(c):
+        """tpad[s12 + c] as two STRIDED SLICES instead of a gather —
+        s12 is two arithmetic mod-3 sequences, and strided copies beat
+        index-width gathers on TPU (see README op table). Limits are the
+        minimal covering values so they stay within tpad for every
+        n % 3 (last element accessed is start + 3*(count-1) <= n + 2)."""
+        a = jax.lax.slice(tpad, (1 + c,), (1 + c + 3 * (n0 - 1) + 1,), (3,))
+        if n2 == 0:
+            return a
+        b = jax.lax.slice(tpad, (2 + c,), (2 + c + 3 * (n2 - 1) + 1,), (3,))
+        return jnp.concatenate([a, b])
+
+    k0, k1, k2 = tri(0), tri(1), tri(2)
     c0, c1, c2, pos = jax.lax.sort((k0, k1, k2, s12), num_keys=3)
     diff = (c0[1:] != c0[:-1]) | (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])
     flags = jnp.concatenate([jnp.zeros((1,), _I32), diff.astype(_I32)])
@@ -87,35 +99,46 @@ def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int, steps1
         1 + jnp.arange(n12, dtype=_I32)
     )
 
+    # Per-position comparator components, built from SLICES (no gathers):
+    # the DC3 case comparator at position p reads T[p], T[p+1],
+    # rank12[p+1], rank12[p+2] (ref: crates/dc3/src/lib.rs:3-11
+    # leq2/leq3). Precomputing these once turns each binary-search step
+    # from ~8-10 index-width gathers (both sides' components re-fetched
+    # per probe) into 5: one for arr[mid] + four component fetches at
+    # midpos; the query side is fetched ONCE before the loop.
+    z = jnp.zeros((2,), _I32)
+    t1 = jnp.concatenate([tpad[1:].astype(_I32), z[:1]])
+    r1 = jnp.concatenate([rank12[1:], z[:1]])
+    r2 = jnp.concatenate([rank12[2:], z])
+    t0c = tpad.astype(_I32)
+
+    def comp_at(pos):
+        """(T[p], T[p+1], rank[p+1], rank[p+2], p%3) at positions `pos`."""
+        return (jnp.take(t0c, pos), jnp.take(t1, pos),
+                jnp.take(r1, pos), jnp.take(r2, pos), pos % 3)
+
+    def less_c(a, b):
+        """suffix at a < suffix at b from components; exactly one side is
+        mod-0 and the other a sample — the sample's residue picks the
+        comparison depth."""
+        ta, t1a, r1a, r2a, ma = a
+        tb, t1b, r1b, r2b, mb = b
+        jm = jnp.where(ma == 0, mb, ma)  # the sample side's residue
+        l1 = (ta < tb) | ((ta == tb) & (r1a < r1b))
+        l2 = _lex3_less(ta, t1a, r2a, tb, t1b, r2b)
+        return jnp.where(jm == 1, l1, l2)
+
     # mod-0 suffixes sorted by (first char, rank of following sample suffix)
     s0 = 3 * jnp.arange(n0, dtype=_I32)
-    c = jnp.take(tpad, s0)
-    r = jnp.take(rank12, s0 + 1)
+    c = jnp.take(t0c, s0)
+    r = jnp.take(r1, s0)
     _c, _r, sa0 = jax.lax.sort((c, r, s0), num_keys=2)
-
-    def less(i, j):
-        """suffix at i < suffix at j, where exactly one of i, j is mod-0 and
-        the other is a sample — the O(1) DC3 comparator
-        (ref: crates/dc3/src/lib.rs:3-11 leq2/leq3)."""
-        jm = j % 3
-        ti = jnp.take(tpad, i)
-        tj = jnp.take(tpad, j)
-        # mod 1: compare (T[i], rank[i+1]) vs (T[j], rank[j+1])
-        l1 = _lex3_less(
-            ti, jnp.take(rank12, i + 1), jnp.zeros_like(ti),
-            tj, jnp.take(rank12, j + 1), jnp.zeros_like(tj),
-        )
-        # mod 2: compare (T[i], T[i+1], rank[i+2]) vs same for j
-        l2 = _lex3_less(
-            ti, jnp.take(tpad, i + 1), jnp.take(rank12, i + 2),
-            tj, jnp.take(tpad, j + 1), jnp.take(rank12, j + 2),
-        )
-        return jnp.where(jm == 1, l1, l2)
 
     def count_less(queries, arr, steps, query_is_mod0):
         """#elements of sorted-suffix-position array `arr` strictly less
         than each query suffix, by vectorized binary search."""
         m = arr.shape[0]
+        q = comp_at(queries)  # fetched once, reused every step
         lo = jnp.zeros(queries.shape, _I32)
         hi = jnp.full(queries.shape, m, _I32)
 
@@ -123,12 +146,12 @@ def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int, steps1
             lo, hi = state
             mid = (lo + hi) // 2
             midpos = jnp.take(arr, jnp.clip(mid, 0, m - 1))
-            # `less` takes (mod-0 position, sample position); suffixes are
-            # never equal, so arr[mid] < q ⟺ ¬(q < arr[mid]).
+            a = comp_at(midpos)
+            # suffixes are never equal, so arr[mid] < q ⟺ ¬(q < arr[mid])
             if query_is_mod0:
-                arr_less = ~less(queries, midpos)  # arr = samples
+                arr_less = ~less_c(q, a)  # arr = samples
             else:
-                arr_less = less(midpos, queries)  # arr = mod-0 suffixes
+                arr_less = less_c(a, q)  # arr = mod-0 suffixes
             active = lo < hi
             lo = jnp.where(active & arr_less, mid + 1, lo)
             hi = jnp.where(active & (~arr_less), mid, hi)
@@ -177,14 +200,16 @@ _BUCKETS = _build_buckets()
 
 #: below this padded size, recursion LEVELS >= 1 solve the reduced string
 #: with the generalized int-alphabet doubling core in ONE fused dispatch
-#: instead of ~log1.5 further host-driven dc3 levels. The deep recursion
-#: tail is where dc3's cost concentrates on TPU (each level pays several
-#: jit dispatches + a host sync on the name count — dispatch-latency-bound
-#: through the remote tunnel, measured in BENCH_DETAIL.json dc3_engine),
-#: while the differential-testing value of dc3 lives in the TOP levels'
-#: sample/merge machinery, which still runs in full (level 0 never takes
-#: this shortcut, so tiny inputs exercise real DC3 end to end).
-_SOLVE_THRESHOLD = 1 << 18
+#: instead of ~log1.5 further host-driven dc3 levels. Measured on v5e at
+#: 2^22 input: the naive full recursion took 31.5 s warm (r3); a 2^18
+#: threshold only cut ~3% because the cost concentrates in the BIG
+#: levels' binary-search merges (steps x n-width gathers), not the
+#: dispatch-bound deep tail — so the threshold is set to hand off the
+#: whole reduced problem right below the top level (measured numbers in
+#: BENCH_DETAIL.json dc3_engine_r4). Level 0 never takes the shortcut:
+#: every dc3 run exercises the real sample/naming/merge machinery on the
+#: actual input, which is the differential-testing point of this engine.
+_SOLVE_THRESHOLD = 1 << 22
 
 
 def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:

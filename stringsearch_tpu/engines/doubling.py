@@ -599,13 +599,15 @@ def sort_in_place(text, sa_out: np.ndarray) -> None:
 
 
 def _auto_depth(n: int) -> int:
-    """Initial-key depth by input size: deep keys win on text-like input,
-    but each extra uint32 key is an extra n-length sort operand, so cap
-    the live-memory footprint for very large single-chip builds."""
-    if n <= (1 << 25):
-        return 24
-    if n <= (1 << 27):
-        return 16
+    """Initial-key depth: 12 bytes at every size (measured r4, v5e).
+
+    With lazy inverts, the fan-4 round resolves everything the initial
+    leaves tied (tied@48B = 0 on enwik-class text at every measured
+    size), so the depth-12 initial + one fan-4 round beats deeper
+    initials across the board: 68.0 vs 66.2 MB/s against depth-24 at
+    2^24, 58.0 vs 53.7 against depth-16 at 2^26, 47.5 vs 43.8 at 2^28
+    (BENCH_DETAIL.json headline sweeps). Deeper initials pay extra sort
+    operands for ties the round resolves anyway."""
     return 12
 
 

@@ -304,16 +304,17 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_enable_x64", True)
-    if args.device != "cpu":
-        from stringsearch_tpu.utils.compile_cache import (
-            enable_persistent_cache,
-        )
+    from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
 
-        enable_persistent_cache()
     if args.device == "cpu":
         import jax
 
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        # campaigns clear_caches() periodically (mmap budget); the
+        # persistent cache makes the recompile storms disk loads
+        enable_persistent_cache(for_cpu=True, min_secs=0.0)
+    else:
+        enable_persistent_cache()
 
     seed = args.seed if args.seed is not None else int(time.time())
     rng = np.random.default_rng(seed)

@@ -397,6 +397,9 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--depth", type=int, default=24, help="initial key bytes")
     p.add_argument("--fan", type=int, default=2)
+    p.add_argument("--configs", default=None,
+                   help="JSON list of sweep configs, e.g. "
+                        '[{"fn":"sa","depth":12,"fan":4}]')
     args = p.parse_args()
     from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -417,7 +420,14 @@ def main() -> None:
     elif args.mode == "bucketed":
         print(json.dumps(bucketed_initial(args.n, args.reps)))
     elif args.mode == "sweep":
-        print(json.dumps(config_sweep(args.n, args.reps)))
+        cfgs = None
+        if args.configs:
+            cfgs = [
+                {k: (tuple(v) if isinstance(v, list) else v)
+                 for k, v in c.items()}
+                for c in json.loads(args.configs)
+            ]
+        print(json.dumps(config_sweep(args.n, args.reps, cfgs)))
 
 
 if __name__ == "__main__":

@@ -21,14 +21,20 @@ _DEFAULT_DIR = os.environ.get(
 )
 
 
-def enable_persistent_cache(for_cpu: bool = False) -> None:
+def enable_persistent_cache(for_cpu: bool = False,
+                            min_secs: float = 1.0) -> None:
     """Turn on jax's persistent compilation cache (idempotent).
 
     Off for CPU-backend runs unless `for_cpu`: XLA:CPU AOT results
     loaded cross-process can carry machine-feature mismatches (observed
     "+prefer-no-gather not supported on the host machine ... could lead
-    to SIGILL" warnings), and CPU compiles are cheap anyway — the cache
-    pays off on the remote-TPU path, where compiles cost minutes."""
+    to SIGILL" warnings) — a concern only when the cache directory is
+    shared across heterogeneous machines, which /tmp is not. The fuzz
+    runner opts in with for_cpu=True + a low min_secs: long campaigns
+    must `jax.clear_caches()` periodically (compiled CPU executables
+    exhaust the process mmap budget, ~100 maps each against the 65530
+    vm.max_map_count default), and the persistent cache turns the
+    post-clear recompile storm into disk loads."""
     if os.environ.get("STRINGSEARCH_TPU_NO_COMPILE_CACHE"):
         return
     import jax
@@ -38,6 +44,7 @@ def enable_persistent_cache(for_cpu: bool = False) -> None:
             return
         os.makedirs(_DEFAULT_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _DEFAULT_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_secs)
     except Exception:  # cache is an optimization, never a failure
         pass
