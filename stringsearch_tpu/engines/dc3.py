@@ -88,8 +88,10 @@ def _unrank_samples(sa_r, n0: int):
     return jnp.where(sa_r < n0, 1 + 3 * sa_r, 2 + 3 * (sa_r - n0))
 
 
-@partial(jax.jit, static_argnames=("n", "n0", "drop_pad", "steps0", "steps12"))
-def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int, steps12: int):
+@partial(jax.jit, static_argnames=("n", "n0", "drop_pad", "steps0",
+                                   "steps12", "byte_alpha"))
+def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int,
+            steps12: int, byte_alpha: bool = False):
     """Rank samples, sort mod-0 suffixes, merge via binary-search cross-ranks."""
     # ranks: rank12[p] = 1-based rank of sample suffix at text position p
     npad = tpad.shape[0]
@@ -112,21 +114,45 @@ def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int, steps1
     r2 = jnp.concatenate([rank12[2:], z])
     t0c = tpad.astype(_I32)
 
-    def comp_at(pos):
-        """(T[p], T[p+1], rank[p+1], rank[p+2], p%3) at positions `pos`."""
-        return (jnp.take(t0c, pos), jnp.take(t1, pos),
-                jnp.take(r1, pos), jnp.take(r2, pos), pos % 3)
+    if byte_alpha and npad < (1 << 23):
+        # Packed comparator keys — LEVEL-0 BYTE ALPHABET ONLY (values
+        # are text bytes + 1 <= 256 = 9 bits; recursion levels carry
+        # integer names that don't fit). With ranks < n12 + 1 < 2^23,
+        # (T[p] - 256) << 23 | rank packs each case's decisive pair into
+        # ONE sign-correct int32 whose integer order IS the
+        # lexicographic order ((T-256) <= 0, low 23 bits clear, rank
+        # non-negative). Per binary-search step this needs 3 index-width
+        # gathers (arr[mid], pk1, pk2) instead of 5.
+        pk1 = ((t0c - 256) << 23) | r1          # case mod-1: (T, r[p+1])
+        pk2 = ((t1 - 256) << 23) | r2           # case mod-2: (T+1, r[p+2])
 
-    def less_c(a, b):
-        """suffix at a < suffix at b from components; exactly one side is
-        mod-0 and the other a sample — the sample's residue picks the
-        comparison depth."""
-        ta, t1a, r1a, r2a, ma = a
-        tb, t1b, r1b, r2b, mb = b
-        jm = jnp.where(ma == 0, mb, ma)  # the sample side's residue
-        l1 = (ta < tb) | ((ta == tb) & (r1a < r1b))
-        l2 = _lex3_less(ta, t1a, r2a, tb, t1b, r2b)
-        return jnp.where(jm == 1, l1, l2)
+        def comp_at(pos):
+            return (jnp.take(pk1, pos), jnp.take(pk2, pos), pos % 3)
+
+        def less_c(a, b):
+            k1a, k2a, ma = a
+            k1b, k2b, mb = b
+            jm = jnp.where(ma == 0, mb, ma)  # the sample side's residue
+            l1 = k1a < k1b
+            ta, tb = k1a >> 23, k1b >> 23    # recover (T-256): monotone
+            l2 = (ta < tb) | ((ta == tb) & (k2a < k2b))
+            return jnp.where(jm == 1, l1, l2)
+    else:
+        def comp_at(pos):
+            """(T[p], T[p+1], rank[p+1], rank[p+2], p%3) at `pos`."""
+            return (jnp.take(t0c, pos), jnp.take(t1, pos),
+                    jnp.take(r1, pos), jnp.take(r2, pos), pos % 3)
+
+        def less_c(a, b):
+            """suffix at a < suffix at b from components; exactly one
+            side is mod-0 and the other a sample — the sample's residue
+            picks the comparison depth."""
+            ta, t1a, r1a, r2a, ma = a
+            tb, t1b, r1b, r2b, mb = b
+            jm = jnp.where(ma == 0, mb, ma)
+            l1 = (ta < tb) | ((ta == tb) & (r1a < r1b))
+            l2 = _lex3_less(ta, t1a, r2a, tb, t1b, r2b)
+            return jnp.where(jm == 1, l1, l2)
 
     # mod-0 suffixes sorted by (first char, rank of following sample suffix)
     s0 = 3 * jnp.arange(n0, dtype=_I32)
@@ -212,7 +238,8 @@ _BUCKETS = _build_buckets()
 _SOLVE_THRESHOLD = 1 << 22
 
 
-def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
+def _dc3(t: jnp.ndarray, tracer=None, level: int = 0,
+         byte_alpha: bool = False) -> jnp.ndarray:
     """Suffix array of int32 array `t` (values >= 1; 0 is reserved).
 
     Pads to the next size bucket with sentinel zeros before running the
@@ -245,11 +272,12 @@ def _dc3(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
         return sa[m - n :]
     if m > n:
         t = jnp.concatenate([t, jnp.zeros((m - n,), _I32)])
-        return _dc3_core(t, tracer, level)[m - n :]
-    return _dc3_core(t, tracer, level)
+        return _dc3_core(t, tracer, level, byte_alpha)[m - n :]
+    return _dc3_core(t, tracer, level, byte_alpha)
 
 
-def _dc3_core(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
+def _dc3_core(t: jnp.ndarray, tracer=None, level: int = 0,
+              byte_alpha: bool = False) -> jnp.ndarray:
     n = int(t.shape[0])
     if n <= 3:
         host = np.asarray(t)
@@ -281,7 +309,8 @@ def _dc3_core(t: jnp.ndarray, tracer=None, level: int = 0) -> jnp.ndarray:
     steps0 = _ceil_log2(n0 + 1) + 1
     n12 = n02 - (1 if drop_pad else 0)
     steps12 = _ceil_log2(n12 + 1) + 1
-    sa = _finish(tpad, sa12_all, n, n0, drop_pad, steps0, steps12)
+    sa = _finish(tpad, sa12_all, n, n0, drop_pad, steps0, steps12,
+                 byte_alpha=byte_alpha)
     if tracer is not None:
         tracer.dump(f"L{level} SA (merged)", sa)
     return sa
@@ -293,7 +322,7 @@ def sort(text) -> SuffixArray:
     n = int(arr.shape[0])
     if n == 0:
         return SuffixArray(arr, np.zeros((0,), np.int32))
-    sa = _dc3(arr.astype(_I32) + 1)
+    sa = _dc3(arr.astype(_I32) + 1, byte_alpha=True)
     return SuffixArray(arr, sa)
 
 
@@ -308,7 +337,7 @@ def sort_traced(text, tracer) -> SuffixArray:
     if n == 0:
         sa = np.zeros((0,), np.int32)
     else:
-        sa = _dc3(arr.astype(_I32) + 1, tracer, 0)
+        sa = _dc3(arr.astype(_I32) + 1, tracer, 0, byte_alpha=True)
     tracer.dump("SA final", sa)
     tracer.flush()
     return SuffixArray(arr, sa)
