@@ -19,6 +19,18 @@ fixed-size shards on a torus/ring:
   bounds to violate (a sample sort's all-to-all can overflow any fixed
   per-pair capacity on adversarial/all-equal data; merge-split cannot).
 
+Sample-sort considered for the MAIN sort and deliberately not taken
+(round 4): splitter exchange + one all_to_all would cut the per-sort
+wire volume ~3x at P=8 (2*L vs stages(8)=6*L per operand — the comm
+model's dominant term), BUT sample sort produces VARIABLE per-shard
+counts, and this stack's whole design is static shapes: equalizing
+shards afterwards needs a rebalancing pass with its own data-dependent
+capacities and fallbacks stacked on the routing fallback, each a
+replicated-branch collective hazard. The PERMUTATION special case —
+where per-shard counts are exactly L by construction — is taken instead
+(`redistribute_permutation` below), which removes the redistribute
+sort's merge-split volume outright with a single safe fallback.
+
 All functions here run INSIDE `shard_map` with a named mesh axis.
 """
 

@@ -44,3 +44,24 @@ def test_empty_and_single():
     assert unbwt(b"", 0) == b""
     u, pidx = divbwt(b"z")
     assert unbwt(u, pidx) == b"z"
+
+
+def test_divbwt_fused_matches_two_step():
+    """The one-program fused divbwt must equal SA-then-bwt_from_sa and
+    the host oracle."""
+    import jax.numpy as jnp
+
+    from stringsearch_tpu import oracle
+    from stringsearch_tpu.engines.doubling import sort as dsort
+    from stringsearch_tpu.transforms.bwt import _divbwt_fused, bwt_from_sa
+
+    data = (b"the quick brown fox " * 40) + bytes(range(256))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    u_f, pidx_f = _divbwt_fused(jnp.asarray(arr), 12)
+    sa = dsort(data)
+    u_2, pidx_2 = bwt_from_sa(sa.text, sa.sa)
+    assert int(pidx_f) == int(pidx_2)
+    assert np.array_equal(np.asarray(u_f), np.asarray(u_2))
+    want_u, want_p = oracle.bwt(data)
+    assert int(pidx_f) == want_p
+    assert bytes(np.asarray(u_f).tobytes()) == want_u

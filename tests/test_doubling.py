@@ -100,3 +100,24 @@ def test_length_guard(monkeypatch):
 def test_rejects_wrong_dtype():
     with pytest.raises(TypeError):
         st.build_suffix_array(np.zeros(0, dtype=np.int16))
+
+
+def test_build_sa_equals_build_with_isa():
+    """The ISA-free lazy-invert path must produce the identical SA on
+    both exit routes: resolved-in-full-rounds (text-like) and the
+    compacted tail (adversarial small alphabet)."""
+    from stringsearch_tpu.engines.doubling import build_sa, build_with_isa
+
+    rng = np.random.default_rng(77)
+    cases = [
+        bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),  # resolves early
+        bytes(rng.integers(0, 2, 3000, dtype=np.uint8)),    # compact tail
+        b"ab" * 1500,
+    ]
+    for data in cases:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        sa_only = build_sa(arr, depth=4, fan=2, levels=(2, 16))
+        sa, isa = build_with_isa(arr, depth=4, fan=2, levels=(2, 16))
+        assert np.array_equal(np.asarray(sa_only), np.asarray(sa))
+        assert np.array_equal(np.asarray(isa)[np.asarray(sa)],
+                              np.arange(len(data)))
