@@ -311,8 +311,17 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         # campaigns clear_caches() periodically (mmap budget); the
-        # persistent cache makes the recompile storms disk loads
-        enable_persistent_cache(for_cpu=True, min_secs=0.0)
+        # persistent cache makes the recompile storms disk loads. A
+        # fuzz-private cache dir keeps campaign writes from racing other
+        # processes' (bench/CLI/TPU) use of the shared default dir —
+        # concurrent mixed-backend writers showed sporadic cache-write
+        # segfaults.
+        enable_persistent_cache(
+            for_cpu=True, min_secs=0.0,
+            cache_dir=os.environ.get(
+                "STRINGSEARCH_TPU_COMPILE_CACHE",
+                "/tmp/stringsearch_tpu_jax_cache_fuzz"),
+        )
     else:
         enable_persistent_cache()
 

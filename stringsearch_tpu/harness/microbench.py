@@ -151,8 +151,12 @@ def op_costs(log_n: int, reps: int = 5) -> dict:
     return results
 
 
-def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
-    """Per-phase timing + round counts of build_with_isa on enwik text."""
+def phase_profile(log_n: int, reps: int = 3, depth: int = 12,
+                  fan: int = 4) -> dict:
+    """Per-phase timing + round counts of the r4 lazy-invert build on
+    enwik text: initial sorted-order sort, the inverse permutation each
+    round pays for its predecessor, and the fan round's sort — plus the
+    compaction tail when anything stays tied."""
     import jax
     import jax.numpy as jnp
 
@@ -162,29 +166,45 @@ def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
     n = 1 << log_n
     text = jnp.asarray(np.frombuffer(enwik_like(n), dtype=np.uint8))
 
-    init = jax.jit(D._initial_full, static_argnames=("depth",))
-    full = jax.jit(D._full_round)
+    init = jax.jit(D._initial_sorted, static_argnames=("depth",))
+    invert = jax.jit(D._scatter_to_text_order)
+    full = jax.jit(D._full_round_sorted, static_argnames=("fan",))
     extract = jax.jit(D._extract, static_argnums=(2,))
     shrink = jax.jit(D._shrink, static_argnums=(2,))
     compact = jax.jit(D._compact_round)
 
-    out = {"n": n, "depth": depth}
+    out = {"n": n, "depth": depth, "fan": fan}
     init_d = lambda t: init(t, depth=depth)  # noqa: E731
-    out["t_initial"] = _timeit(init_d, text, reps=reps)
-    rank, sa_s, rank_s, count = init_d(text)
+    out["t_initial_sorted"] = _timeit(init_d, text, reps=reps)
+    sa_s, rank_s, count = init_d(text)
+    out["t_invert"] = _timeit(invert, sa_s, rank_s, reps=reps)
+    rank = invert(sa_s, rank_s)
     counts = [int(count)]
     t_full = []
     h = depth
     threshold = n // 4
     while counts[-1] > threshold and h < n:
-        t_full.append(_timeit(full, rank, jnp.asarray(h, jnp.int32),
-                              reps=reps))
-        rank, sa_s, rank_s, count = full(rank, jnp.asarray(h, jnp.int32))
+        t_full.append(_timeit(
+            lambda r: full(r, jnp.asarray(h, jnp.int32), fan=fan),
+            rank, reps=reps))
+        sa_s, rank_s, count = full(rank, jnp.asarray(h, jnp.int32), fan=fan)
         counts.append(int(count))
-        h *= 2
+        h = min(h * fan, n)
+        if counts[-1] > threshold:
+            rank = invert(sa_s, rank_s)
     out["full_rounds"] = len(t_full)
-    out["t_full_each"] = [round(t, 4) for t in t_full]
+    out["t_full_sorted_each"] = [round(t, 4) for t in t_full]
     out["tied_counts"] = counts
+    if counts[-1] == 0:
+        out["note"] = ("resolved in the full rounds: the fused build_sa "
+                       "skips every phase below this line")
+        from stringsearch_tpu.engines.doubling import build_sa
+
+        out["t_total_fused"] = _timeit(
+            lambda t: build_sa(t, depth=depth, fan=fan), text, reps=reps)
+        out["bytes_per_s_fused"] = round(n / out["t_total_fused"], 1)
+        return out
+    rank = invert(sa_s, rank_s)
     m1 = max(n // 4, 1)
     m2 = min(n, max(n // 64, 64), m1)
     out["t_extract_l1"] = _timeit(extract, rank_s, sa_s, m1, reps=reps)
@@ -214,8 +234,10 @@ def phase_profile(log_n: int, reps: int = 3, depth: int = 24) -> dict:
     out["l2_rounds"] = len(t2)
     out["t_l2_each"] = [round(t, 4) for t in t2]
     out["compact_tied_counts"] = comp_counts
+    from stringsearch_tpu.engines.doubling import build_sa
+
     out["t_total_fused"] = _timeit(
-        lambda t: D.build_with_isa(t, depth=depth)[0], text, reps=reps)
+        lambda t: build_sa(t, depth=depth, fan=fan), text, reps=reps)
     out["bytes_per_s_fused"] = round(n / out["t_total_fused"], 1)
     return out
 
@@ -410,7 +432,8 @@ def main() -> None:
             print(f"{k:28s} {v * 1e3:10.3f} ms")
         print(json.dumps({"log_n": args.n, **{k: round(v, 5) for k, v in res.items()}}))
     elif args.mode == "phases":
-        res = phase_profile(args.n, args.reps, args.depth)
+        res = phase_profile(args.n, args.reps, args.depth,
+                            max(args.fan, 2))
         print(json.dumps(res))
     elif args.mode == "tiedcurve":
         print(json.dumps(tied_curve(args.n, args.depth, args.fan, args.reps)))

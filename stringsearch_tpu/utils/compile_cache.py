@@ -22,7 +22,8 @@ _DEFAULT_DIR = os.environ.get(
 
 
 def enable_persistent_cache(for_cpu: bool = False,
-                            min_secs: float = 1.0) -> None:
+                            min_secs: float = 1.0,
+                            cache_dir: str | None = None) -> None:
     """Turn on jax's persistent compilation cache (idempotent).
 
     Off for CPU-backend runs unless `for_cpu`: XLA:CPU AOT results
@@ -42,8 +43,9 @@ def enable_persistent_cache(for_cpu: bool = False,
     try:
         if not for_cpu and jax.default_backend() == "cpu":
             return
-        os.makedirs(_DEFAULT_DIR, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _DEFAULT_DIR)
+        d = cache_dir or _DEFAULT_DIR
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_secs)
     except Exception:  # cache is an optimization, never a failure
