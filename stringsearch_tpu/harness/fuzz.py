@@ -310,18 +310,22 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        # campaigns clear_caches() periodically (mmap budget); the
-        # persistent cache makes the recompile storms disk loads. A
-        # fuzz-private cache dir keeps campaign writes from racing other
-        # processes' (bench/CLI/TPU) use of the shared default dir —
-        # concurrent mixed-backend writers showed sporadic cache-write
-        # segfaults.
-        enable_persistent_cache(
-            for_cpu=True, min_secs=0.0,
-            cache_dir=os.environ.get(
-                "STRINGSEARCH_TPU_COMPILE_CACHE",
-                "/tmp/stringsearch_tpu_jax_cache_fuzz"),
-        )
+        # NO persistent cache on the CPU backend: XLA:CPU AOT results
+        # reloaded from the cache carry compile-machine feature strings
+        # (+prefer-no-gather/-scatter pseudo-features) the host probe
+        # rejects — "could lead to execution errors such as SIGILL",
+        # and campaigns measurably segfaulted (rc=139) on such loads
+        # while cacheless runs were stable. Campaigns instead rely on
+        # periodic jax.clear_caches() (mmap budget) and parallel chunk
+        # processes for throughput. Opt back in explicitly with
+        # STRINGSEARCH_TPU_FUZZ_CACHE=1 to reproduce the hazard.
+        if os.environ.get("STRINGSEARCH_TPU_FUZZ_CACHE"):
+            enable_persistent_cache(
+                for_cpu=True, min_secs=0.0,
+                cache_dir=os.environ.get(
+                    "STRINGSEARCH_TPU_COMPILE_CACHE",
+                    "/tmp/stringsearch_tpu_jax_cache_fuzz"),
+            )
     else:
         enable_persistent_cache()
 
