@@ -117,8 +117,8 @@ def main() -> None:
              "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
-    except OSError:
-        rev = "unknown"
+    except Exception:  # incl. SubprocessError/TimeoutExpired: stamp is
+        rev = "unknown"  # best-effort, never the reason a bench dies
     stamp = {"rev": rev, "date": time.strftime("%Y-%m-%d")}
 
     # headline: doubling engine at the full size

@@ -103,7 +103,16 @@ def command_queries(args) -> int:
     from stringsearch_tpu.engines import get_engine
 
     data = _load_input(args.input, args.length)
-    batches = [int(b) for b in str(args.batch).split(",") if b]
+    try:
+        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
+    except ValueError:
+        print(f"error: --batch must be a comma list of ints, got "
+              f"{args.batch!r}", file=sys.stderr)
+        return 2
+    if not batches or any(b < 1 for b in batches):
+        print(f"error: --batch needs at least one positive int, got "
+              f"{args.batch!r}", file=sys.stderr)
+        return 2
     sa = get_engine(args.engine)(data)
     for batch in batches:
         rng = np.random.default_rng(0xBEEF)

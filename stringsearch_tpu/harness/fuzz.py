@@ -85,24 +85,27 @@ def _mutate(rng: np.random.Generator, n: int) -> bytes:
     return bytes(arr)
 
 
-def _check_engines(data: bytes, engines) -> str | None:
-    """Differential check vs the C++ oracle. Returns error string or None."""
+def _check_engines(data: bytes, engines):
+    """Differential check vs the C++ oracle.
+
+    Returns (error string or None, oracle SA) — the SA is reused by the
+    i64 check so `--idx64` iterations don't build it twice."""
     from stringsearch_tpu import oracle
     from stringsearch_tpu.core.types import NotSorted
     from stringsearch_tpu.engines import get_engine
 
     want = oracle.build(data)
     if oracle.sufcheck(data, want) != 0:
-        return "oracle output failed sufcheck"
+        return "oracle output failed sufcheck", want
     for name in engines:
         sa = get_engine(name)(data)
         try:
             sa.verify()
         except NotSorted as e:
-            return f"{name}: verify failed: {e}"
+            return f"{name}: verify failed: {e}", want
         if not np.array_equal(np.asarray(sa.sa), want):
-            return f"{name}: mismatch vs oracle"
-    return None
+            return f"{name}: mismatch vs oracle", want
+    return None, want
 
 
 def _input_rng(data: bytes) -> np.random.Generator:
@@ -213,20 +216,20 @@ def _make_mesh():
     return Mesh(np.array(devs[:n]), ("parts",))
 
 
-def _check_engines_i64(data: bytes) -> str | None:
+def _check_engines_i64(data: bytes, want: np.ndarray) -> str | None:
     """64-bit index mode parity (ref: BUILD_DIVSUFSORT64,
     c-sources/divsufsort_private.h:63-84) — the doubling engine with
-    idx=int64 must match the oracle exactly."""
+    idx=int64 must match the oracle SA `want` already computed by
+    `_check_engines` for this input."""
     import jax.numpy as jnp
 
-    from stringsearch_tpu import oracle
     from stringsearch_tpu.engines.doubling import build_with_isa
 
     arr = np.frombuffer(data, dtype=np.uint8)
     if len(arr) < 3:
         return None
     sa, _isa = build_with_isa(arr, idx=jnp.int64)
-    if not np.array_equal(np.asarray(sa), oracle.build(data)):
+    if not np.array_equal(np.asarray(sa), want):
         return "doubling idx=int64: mismatch vs oracle"
     return None
 
@@ -238,11 +241,11 @@ def _check(data: bytes, engines, targets, mesh, idx64: bool = False) -> str | No
     build configs) is seeded from the input bytes, so crash artifacts
     replay exactly."""
     if "engines" in targets:
-        err = _check_engines(data, engines)
+        err, want = _check_engines(data, engines)
         if err:
             return err
         if idx64:
-            err = _check_engines_i64(data)
+            err = _check_engines_i64(data, want)
             if err:
                 return err
     if "partitioned" in targets:

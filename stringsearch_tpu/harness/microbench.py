@@ -436,7 +436,8 @@ def main() -> None:
                             max(args.fan, 2))
         print(json.dumps(res))
     elif args.mode == "tiedcurve":
-        print(json.dumps(tied_curve(args.n, args.depth, args.fan, args.reps)))
+        print(json.dumps(tied_curve(args.n, args.depth,
+                                    max(args.fan, 2), args.reps)))
     elif args.mode == "extract":
         print(json.dumps(extract_variants(args.n, args.depth,
                                           max(args.fan, 2), args.reps)))

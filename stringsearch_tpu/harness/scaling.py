@@ -64,7 +64,9 @@ def measure(
 
         g = GlobalSuffixArray(text, mesh)  # _build runs in the constructor
         sync(g._sa_sharded)
-        last_build["gsa"] = g
+        # keep only the plain-int comm report, not the device buffers —
+        # retaining the index would inflate HBM during later timings
+        last_build["report"] = g.comm_report()
 
     one = one_global if mode == "global" else one_partitioned
 
@@ -79,9 +81,7 @@ def measure(
             one(mesh)
             times.append(time.perf_counter() - t0)
         dt = min(times)
-        report = None
-        if mode == "global":
-            report = last_build["gsa"].comm_report()
+        report = last_build.get("report") if mode == "global" else None
         rows.append((k, dt, size / dt, report))
         k *= 2
     return rows

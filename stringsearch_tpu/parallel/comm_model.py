@@ -90,11 +90,14 @@ def redistribute_bytes_per_device(p: int, chunk_elems: int,
                                   n_payloads: int = 1, width: int = 4,
                                   cap_factor: int = 2) -> int:
     """Bytes sent per device by `redistribute_permutation`'s fast path:
-    one all_to_all of (gidx + payload) buffers at static capacity
-    cap_factor * ceil(L/P) per destination. The adversarial fallback is
-    a full merge-split sort (`sharded_sort_bytes_per_device(p, L, 1 +
-    n_payloads)`); on text-like data the fast path is what runs."""
-    cap = min(chunk_elems, cap_factor * (-(-chunk_elems // p)))
+    one all_to_all of (gidx + payload) buffers at the implementation's
+    static per-pair capacity (imported, so the model cannot drift from
+    the code). The adversarial fallback is a full merge-split sort
+    (`sharded_sort_bytes_per_device(p, L, 1 + n_payloads)`); on
+    text-like data the fast path is what runs."""
+    from stringsearch_tpu.parallel.distsort import redistribute_cap
+
+    cap = redistribute_cap(p, chunk_elems, cap_factor)
     return cap * p * (1 + n_payloads) * width
 
 

@@ -114,6 +114,14 @@ def sharded_sort(
     return operands
 
 
+def redistribute_cap(p: int, chunk_elems: int, cap_factor: int = 2) -> int:
+    """Static per-(source, dest) capacity of the all_to_all redistribute.
+
+    Shared with parallel/comm_model.py so the comm model's volume
+    arithmetic can never drift from the implementation."""
+    return int(min(chunk_elems, cap_factor * (-(-chunk_elems // p))))
+
+
 def redistribute_permutation(gidx, operands, axis_name: str,
                              cap_factor: int = 2):
     """Route elements to shard `gidx // L`, slot `gidx % L` — the cheap
@@ -147,7 +155,7 @@ def redistribute_permutation(gidx, operands, axis_name: str,
     seg_start = jnp.searchsorted(dest_s, dest_s, side="left").astype(
         jnp.int32)
     rank = i - seg_start
-    cap = int(min(length, cap_factor * (-(-length // p))))
+    cap = redistribute_cap(p, length, cap_factor)
     overflow = jax.lax.psum(
         jnp.any(rank >= cap).astype(jnp.int32), axis_name) > 0
 

@@ -101,7 +101,7 @@ def _global_iota(chunk_len: int, idx):
     return me * chunk_len + jnp.arange(chunk_len, dtype=idx)
 
 
-def _gmax(x, _axis=None):
+def _gmax(x):
     """Cross-shard max of a scalar via all_gather + local reduce.
 
     TPU lowers 64-bit all-reduces only for SUM (measured on the v5e AOT

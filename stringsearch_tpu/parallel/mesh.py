@@ -69,7 +69,9 @@ def build_sharded(text: BytesLike, mesh: Mesh):
 
     Returns (chunks [P, L] sharded, sas [P, L] sharded, real_lens [P]).
     """
-    from stringsearch_tpu.engines.doubling import build_with_isa
+    from functools import partial as _partial
+
+    from stringsearch_tpu.engines.doubling import build_sa
 
     text = as_text_array(text)
     num_parts = mesh.shape["parts"]
@@ -79,8 +81,10 @@ def build_sharded(text: BytesLike, mesh: Mesh):
     chunks = jax.device_put(chunks, chunk_sharding)
 
     def per_shard(chunk):  # chunk: [parts_per_dev, L]
-        sa, _isa = jax.vmap(build_with_isa)(chunk)
-        return sa
+        # build_sa + adaptive=False: no ISA consumer, and vmapped
+        # lax.switch would execute every cascade branch (see
+        # partitioned.build_partitioned)
+        return jax.vmap(_partial(build_sa, adaptive=False))(chunk)
 
     build = jax.jit(
         jax.shard_map(

@@ -53,10 +53,15 @@ def build_partitioned(padded_text: jnp.ndarray, num_partitions: int):
 
     padded_text: uint8 [P*L]. Returns sa int32 [P, L].
     """
-    from stringsearch_tpu.engines.doubling import build_with_isa
+    from stringsearch_tpu.engines.doubling import build_sa
 
     chunks = padded_text.reshape(num_partitions, -1)
-    sa, _isa = jax.vmap(build_with_isa)(chunks)
+    # build_sa: the ISA is unused, so the lazy-invert saving applies per
+    # chunk. adaptive=False: under vmap a lax.switch lowers to
+    # execute-all-branches, so the adaptive cascade entry would RUN every
+    # pyramid level instead of picking one — the static entry is the
+    # right shape for batched builds.
+    sa = jax.vmap(partial(build_sa, adaptive=False))(chunks)
     return chunks, sa
 
 

@@ -105,14 +105,9 @@ def _divbwt_fused(text: jnp.ndarray, depth: int):
     from stringsearch_tpu.engines.doubling import build_sa
 
     sa = build_sa(text, depth=depth)
-    n = text.shape[0]
-    pidx = jnp.argmax(sa == 0).astype(_I32)
-    col = jnp.concatenate(
-        [text[-1:], jnp.take(text, jnp.clip(sa - 1, 0, n - 1))]
-    )
-    k = jnp.arange(n, dtype=_I32)
-    u = jnp.take(col, k + (k > pidx).astype(_I32))
-    return u, pidx
+    # bwt_from_sa traces inline here (one fused program), so the
+    # skip-row/pidx emission convention lives in exactly one place
+    return bwt_from_sa(text, sa)
 
 
 def bwt(text: BytesLike, sa=None, engine: str = "doubling") -> tuple[jnp.ndarray, int]:
