@@ -67,17 +67,21 @@ def _unbwt_kernel(u: jnp.ndarray, pidx: jnp.ndarray, rounds: int):
     order = jnp.argsort(col, stable=True).astype(_I32)
     lf = jnp.zeros((m,), _I32).at[order].set(r)
 
-    # Pointer jumping: distance from every row to row 0 along the LF cycle.
+    # Pointer jumping: distance from every row to row 0 along the LF
+    # cycle. (nxt, dist) ride as COLUMNS of one [m, 2] array so each
+    # doubling round is ONE row gather instead of two element gathers —
+    # TPU gather cost is index-count-dominated (README op table), so the
+    # fused fetch nearly halves the round cost.
     nxt = jnp.where(r == 0, 0, lf)
     dist = jnp.where(r == 0, 0, 1).astype(_I32)
+    state = jnp.stack([nxt, dist], axis=1)  # [m, 2]
 
-    def body(_, state):
-        nxt, dist = state
-        dist = dist + jnp.take(dist, nxt)
-        nxt = jnp.take(nxt, nxt)
-        return nxt, dist
+    def body(_, st):
+        g = jnp.take(st, st[:, 0], axis=0)  # rows at nxt: [m, 2]
+        return jnp.stack([g[:, 0], st[:, 1] + g[:, 1]], axis=1)
 
-    _, dist = jax.lax.fori_loop(0, rounds, body, (nxt, dist))
+    state = jax.lax.fori_loop(0, rounds, body, state)
+    dist = state[:, 1]
 
     # Walk step s(row): the LF walk starts at row 0 and emits T[n-1-s].
     s = jnp.where(r == 0, 0, m - dist)
