@@ -125,9 +125,13 @@ def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int,
         # gathers (arr[mid], pk1, pk2) instead of 5.
         pk1 = ((t0c - 256) << 23) | r1          # case mod-1: (T, r[p+1])
         pk2 = ((t1 - 256) << 23) | r2           # case mod-2: (T+1, r[p+2])
+        # both keys ride as columns of one [npad, 2] array: a probe step
+        # costs ONE row gather (TPU gather cost is index-count-dominated)
+        pk = jnp.stack([pk1, pk2], axis=1)
 
         def comp_at(pos):
-            return (jnp.take(pk1, pos), jnp.take(pk2, pos), pos % 3)
+            g = jnp.take(pk, pos, axis=0)
+            return (g[:, 0], g[:, 1], pos % 3)
 
         def less_c(a, b):
             k1a, k2a, ma = a
@@ -138,10 +142,13 @@ def _finish(tpad, sa12_all, n: int, n0: int, drop_pad: bool, steps0: int,
             l2 = (ta < tb) | ((ta == tb) & (k2a < k2b))
             return jnp.where(jm == 1, l1, l2)
     else:
+        comp = jnp.stack([t0c, t1, r1, r2], axis=1)  # [npad, 4]
+
         def comp_at(pos):
-            """(T[p], T[p+1], rank[p+1], rank[p+2], p%3) at `pos`."""
-            return (jnp.take(t0c, pos), jnp.take(t1, pos),
-                    jnp.take(r1, pos), jnp.take(r2, pos), pos % 3)
+            """(T[p], T[p+1], rank[p+1], rank[p+2], p%3) at `pos` — one
+            row gather for all four components."""
+            g = jnp.take(comp, pos, axis=0)
+            return (g[:, 0], g[:, 1], g[:, 2], g[:, 3], pos % 3)
 
         def less_c(a, b):
             """suffix at a < suffix at b from components; exactly one
