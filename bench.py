@@ -182,9 +182,15 @@ def main() -> None:
         # keep sizes measured by earlier runs that this run didn't touch,
         # but only when they carry a provenance stamp (rev/date) so a
         # stale unstamped number can't silently read as current
+        dropped = []
         for k, v in prev.get("sizes", {}).items():
             if isinstance(v, dict) and "rev" in v:
                 detail["sizes"].setdefault(k, v)
+            elif k not in detail["sizes"]:
+                dropped.append(k)
+        if dropped:
+            _log(f"dropping unstamped carried-over sizes entries "
+                 f"(no rev provenance): {sorted(dropped)}")
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as f:

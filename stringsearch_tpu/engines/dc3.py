@@ -245,6 +245,17 @@ _BUCKETS = _build_buckets()
 _SOLVE_THRESHOLD = 1 << 22
 
 
+def _tail_solve_enabled() -> bool:
+    """The tail solve hands levels >= 1 to the shared doubling core, so a
+    doubling bug would escape dc3-vs-doubling differential testing below
+    level 0 (fuzz still catches it vs the C oracle). Set
+    STRINGSEARCH_TPU_DC3_FULL=1 to force the full independent recursion
+    (crosscheck/differential runs)."""
+    import os
+
+    return not os.environ.get("STRINGSEARCH_TPU_DC3_FULL")
+
+
 def _dc3(t: jnp.ndarray, tracer=None, level: int = 0,
          byte_alpha: bool = False) -> jnp.ndarray:
     """Suffix array of int32 array `t` (values >= 1; 0 is reserved).
@@ -265,7 +276,7 @@ def _dc3(t: jnp.ndarray, tracer=None, level: int = 0,
     import bisect
 
     m = _BUCKETS[bisect.bisect_left(_BUCKETS, n)]
-    if level > 0 and m <= _SOLVE_THRESHOLD:
+    if level > 0 and m <= _SOLVE_THRESHOLD and _tail_solve_enabled():
         # one-dispatch tail solve (ref recursion being cut:
         # crates/dc3/src/lib.rs:103-114). Bucket-padding first keeps the
         # solver's compiled-shape families identical to the dc3 levels'.

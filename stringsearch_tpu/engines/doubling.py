@@ -244,9 +244,14 @@ def _extract(rank_s, sa_s, m: int, idx=_I32, method: str = "topk"):
     Returns (g [m], pos [m]): group-head ranks and text positions, sorted
     by g (groups contiguous). Pad slots carry g = sentinel, pos = n.
 
-    Two implementations with identical outputs (sorted ranks are a
-    permutation-stable key; lax.top_k breaks value ties by ascending
-    index, matching the stable sort):
+    Two implementations with identical outputs on the default stable
+    lax.sort path (sorted ranks are a permutation-stable key; lax.top_k
+    breaks value ties by ascending index, matching the stable sort).
+    Under the opt-in unstable Pallas device_sort
+    (STRINGSEARCH_TPU_PALLAS=1, see ops/bitonic.py) the "sort" variant
+    may permute tied-group members, so the variants agree only up to
+    within-group order — immaterial downstream, since group membership,
+    heads, and counts are unchanged:
       - "topk": lax.top_k of the negated masked key — cost scales with m
         (measured numbers in BENCH_DETAIL.json extract_variants);
       - "sort": full-width 1-key sort — the fallback if top_k regresses

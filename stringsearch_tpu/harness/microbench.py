@@ -417,7 +417,9 @@ def main() -> None:
                                     "extract", "bucketed", "sweep"])
     p.add_argument("--n", type=int, default=24, help="log2 of element count")
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--depth", type=int, default=24, help="initial key bytes")
+    p.add_argument("--depth", type=int, default=None,
+                   help="initial key bytes (default: each mode's own "
+                        "default — 12, the headline config)")
     p.add_argument("--fan", type=int, default=2)
     p.add_argument("--configs", default=None,
                    help="JSON list of sweep configs, e.g. "
@@ -426,21 +428,23 @@ def main() -> None:
     from stringsearch_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # None → each mode's own signature default (12 everywhere, the
+    # headline config), so `microbench phases` profiles what ships
+    dkw = {} if args.depth is None else {"depth": args.depth}
     if args.mode == "ops":
         res = op_costs(args.n, args.reps)
         for k, v in res.items():
             print(f"{k:28s} {v * 1e3:10.3f} ms")
         print(json.dumps({"log_n": args.n, **{k: round(v, 5) for k, v in res.items()}}))
     elif args.mode == "phases":
-        res = phase_profile(args.n, args.reps, args.depth,
-                            max(args.fan, 2))
+        res = phase_profile(args.n, args.reps, fan=max(args.fan, 2), **dkw)
         print(json.dumps(res))
     elif args.mode == "tiedcurve":
-        print(json.dumps(tied_curve(args.n, args.depth,
-                                    max(args.fan, 2), args.reps)))
+        print(json.dumps(tied_curve(args.n, fan=max(args.fan, 2),
+                                    reps=args.reps, **dkw)))
     elif args.mode == "extract":
-        print(json.dumps(extract_variants(args.n, args.depth,
-                                          max(args.fan, 2), args.reps)))
+        print(json.dumps(extract_variants(args.n, fan=max(args.fan, 2),
+                                          reps=args.reps, **dkw)))
     elif args.mode == "bucketed":
         print(json.dumps(bucketed_initial(args.n, args.reps)))
     elif args.mode == "sweep":

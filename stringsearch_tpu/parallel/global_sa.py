@@ -531,8 +531,20 @@ class GlobalSuffixArray:
             raise NotSorted(
                 0, 0, "sharded SA is not the inverse of the global rank"
             )
+        # Reported position: global sorted-order slot minus the pad
+        # count. Pad suffixes USUALLY occupy exactly the first `pad`
+        # slots, but a real suffix of leading 0x00 bytes can interleave
+        # with them, so for NUL-bearing texts the position is
+        # approximate (off by at most the number of interleaved NUL
+        # runs); detection itself is exact either way. The raw padded
+        # slot rides in the message for exact diagnosis.
         i = max(int(bad) - self.pad, 0)
-        raise NotSorted(max(i - 1, 0), i)
+        raise NotSorted(
+            max(i - 1, 0), i,
+            f"adjacent-order violation at padded sorted slot {int(bad)} "
+            f"(position estimate assumes pad suffixes fill the first "
+            f"{self.pad} slots; approximate if the text contains NULs)",
+        )
 
     def comm_report(self):
         """Exact per-device ICI communication volume of THIS build
