@@ -120,31 +120,22 @@ def lcs_kernel(text, sa, needles, steps: int):
     return lcs_loop(windows_at, n_sa, needles, steps)
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def sa_search_kernel(text, sa, needles, lens, steps: int):
-    """Batched exact-occurrence search: returns (count [B], left [B]).
+def sa_search_loop(cmp_at, n_sa: int, b: int, steps: int):
+    """Batched double binary search with a pluggable probe compare.
 
-    `left` is the SA index of the leftmost occurrence (the lower bound —
-    matching the reference's `sa_search` *idx out-param,
-    c-sources/utils.c:244-325).
+    cmp_at(pos [B]) -> int32 [B]: three-way compare of the suffix-prefix
+    at SA-slice position `pos` against each lane's needle (callers clamp
+    positions and handle needle-length masking). Returns
+    (lo [B], up [B]): the lower and upper bound insertion points of the
+    needle in the length-`n_sa` sorted slice — count = up - lo, leftmost
+    occurrence slot = lo. This is the loop the single-device kernel and
+    the distributed per-shard search (parallel/global_sa.py) share, like
+    `lcs_loop` for the LCS query.
     """
-    n = text.shape[0]
-    m_width = needles.shape[-1]
-    b = needles.shape[0]
-    offs = jnp.arange(m_width, dtype=jnp.int32)
-    within = offs[None, :] < lens[:, None]  # [B, M] positions inside needle
-
-    def cmp_at(pos):
-        starts = jnp.take(sa, jnp.clip(pos, 0, n - 1))
-        suff = cmp.gather_window(text, starts, m_width)
-        # compare only the first len(needle) bytes: neutralize the rest
-        suff_m = jnp.where(within, suff, cmp.PAST_NEEDLE_END)
-        return cmp.lex_cmp(suff_m, needles)  # -1/0/+1 of suffix-prefix vs needle
-
     lo_l = jnp.zeros((b,), jnp.int32)
-    hi_l = jnp.full((b,), n, jnp.int32)
+    hi_l = jnp.full((b,), n_sa, jnp.int32)
     lo_u = jnp.zeros((b,), jnp.int32)
-    hi_u = jnp.full((b,), n, jnp.int32)
+    hi_u = jnp.full((b,), n_sa, jnp.int32)
 
     def body(_, state):
         lo_l, hi_l, lo_u, hi_u = state
@@ -163,9 +154,45 @@ def sa_search_kernel(text, sa, needles, lens, steps: int):
         hi_u = jnp.where(act & (~leq), mid_u, hi_u)
         return lo_l, hi_l, lo_u, hi_u
 
-    lo_l, _, lo_u, _ = jax.lax.fori_loop(0, steps, body, (lo_l, hi_l, lo_u, hi_u))
-    count = lo_u - lo_l
-    return count, lo_l
+    lo_l, _, lo_u, _ = jax.lax.fori_loop(
+        0, steps, body, (lo_l, hi_l, lo_u, hi_u)
+    )
+    return lo_l, lo_u
+
+
+def needle_mask_cmp(needles, lens):
+    """Build `windows -> cmp` that compares only each lane's first
+    len(needle) bytes (the rest neutralized to equal sentinels)."""
+    m_width = needles.shape[-1]
+    offs = jnp.arange(m_width, dtype=jnp.int32)
+    within = offs[None, :] < lens[:, None]  # [B, M]
+
+    def compare(suff):
+        suff_m = jnp.where(within, suff, cmp.PAST_NEEDLE_END)
+        return cmp.lex_cmp(suff_m, needles)  # -1/0/+1 vs needle prefix
+
+    return compare
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def sa_search_kernel(text, sa, needles, lens, steps: int):
+    """Batched exact-occurrence search: returns (count [B], left [B]).
+
+    `left` is the SA index of the leftmost occurrence (the lower bound —
+    matching the reference's `sa_search` *idx out-param,
+    c-sources/utils.c:244-325).
+    """
+    n = text.shape[0]
+    m_width = needles.shape[-1]
+    b = needles.shape[0]
+    compare = needle_mask_cmp(needles, lens)
+
+    def cmp_at(pos):
+        starts = jnp.take(sa, jnp.clip(pos, 0, n - 1))
+        return compare(cmp.gather_window(text, starts, m_width))
+
+    lo, up = sa_search_loop(cmp_at, n, b, steps)
+    return up - lo, lo
 
 
 @jax.jit

@@ -325,11 +325,17 @@ def _induce(elem_sel, w1, w2, nxt_arr, hops: int, idx=_I32):
     j = jnp.arange(n, dtype=idx)
     big = _sent(idx)
     cur = jnp.where(elem_sel, j, jnp.asarray(n, idx))
+    # FUSED ROW GATHERS (the dc3/unbwt trick, r4): gather cost is
+    # index-count-dominated, so (w1, w2, nxt) ride as COLUMNS of one
+    # [n+1, 3] array and each hop is ONE row gather instead of three
+    # element gathers — 12 gathers -> 4 for the default hops=4.
+    static_tbl = jnp.stack([w1, w2, nxt_arr], axis=1)  # [n+1, 3]
     keys = []
     for _t in range(hops):
-        keys.append(jnp.take(w1, cur))
-        keys.append(jnp.take(w2, cur))
-        cur = jnp.take(nxt_arr, cur)
+        g = jnp.take(static_tbl, cur, axis=0)  # [n, 3]
+        keys.append(g[:, 0])
+        keys.append(g[:, 1])
+        cur = g[:, 2]
     # unselected elements sort last
     keys[0] = jnp.where(elem_sel, keys[0], big)
     out = device_sort(tuple(keys) + (cur, j), num_keys=len(keys))
@@ -347,38 +353,57 @@ def _induce(elem_sel, w1, w2, nxt_arr, hops: int, idx=_I32):
         _, r = device_sort((pos_s, val_s), num_keys=1)
         return r
 
-    sel_ext = jnp.concatenate([elem_sel, jnp.zeros((1,), bool)])
+    sel_col = jnp.concatenate(
+        [elem_sel.astype(idx), jnp.zeros((1,), idx)]
+    )
+    # loop-invariant columns of the refinement lookup table
+    ref_static = jnp.stack([w1, w2, sel_col], axis=1)  # [n+1, 3]
+    zero_pad = jnp.zeros((1,), idx)
 
     def cond(st):
         return st[0] > 0
 
     def body(st):
+        """One refinement round = TWO sorts + ONE row gather (was three
+        sorts + six element gathers before the r5 fusion):
+
+        1. a single 1-key inverse sort by pos_s yields BOTH
+           position-indexed tables (rank_pos for the continuation key,
+           jump_pos for the jump doubling) — the old code paid one scat
+           sort for each;
+        2. one [n+1, 5] row gather at jump_s fetches
+           (w1, w2, selected, rank_pos, jump_pos) per element;
+        3. the doubled jump is computed ELEMENTWISE pre-sort and carried
+           through the main sort as a payload — doubling commutes with
+           the sort because it only reads position-indexed tables, which
+           the sort does not change.
+        """
         _c, rank_s, pos_s, jump_s = st
-        rank_pos = scat(pos_s, rank_s)
-        jsel = jnp.take(sel_ext, jump_s)
-        k1 = jnp.take(w1, jump_s)
-        k2 = jnp.where(
-            jsel,
-            jnp.take(rank_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1)),
-            jnp.take(w2, jump_s),
+        _, rank_pos, jump_pos = device_sort(
+            (pos_s, rank_s, jump_s), num_keys=1
         )
-        out = device_sort((rank_s, k1, k2, jump_s, pos_s), num_keys=3)
-        rank_old, jump_s, pos_s = out[0], out[-2], out[-1]
+        tbl = jnp.concatenate(
+            [
+                ref_static,
+                jnp.concatenate([rank_pos, zero_pad])[:, None],
+                jnp.concatenate([jump_pos, zero_pad])[:, None],
+            ],
+            axis=1,
+        )  # [n+1, 5]; slot n: sel=0 so the pads are never consulted
+        g = jnp.take(tbl, jump_s, axis=0)  # [n, 5]
+        jsel = g[:, 2] != 0
+        k1 = g[:, 0]
+        k2 = jnp.where(jsel, g[:, 3], g[:, 1])
+        jump2 = jnp.where(jsel, g[:, 4], jump_s)  # doubled; frozen at
+        # terminals (unselected / off-end targets keep their jump)
+        out = device_sort((rank_s, k1, k2, jump2, pos_s), num_keys=3)
+        jump_s, pos_s = out[-2], out[-1]
         eqr = jnp.ones((max(n - 1, 0),), bool)
         for ks in out[:3]:
             eqr = eqr & (ks[1:] == ks[:-1])
         new_flag = jnp.concatenate([jnp.ones((min(n, 1),), bool), ~eqr])
         rank_s, tied = _heads_and_tied(new_flag, j)
         tied = tied & (j < nsel)
-        # double the jump: target's jump target (through the
-        # position-indexed jump table), freezing at terminals
-        jump_pos = scat(pos_s, jump_s)
-        jsel2 = jnp.take(sel_ext, jump_s)
-        jump_s = jnp.where(
-            jsel2,
-            jnp.take(jump_pos, jnp.minimum(jump_s, jnp.asarray(n, idx) - 1)),
-            jump_s,
-        )
         return jnp.sum(tied.astype(idx)), rank_s, pos_s, jump_s
 
     _c, rank_s, pos_s, _jump_s = jax.lax.while_loop(

@@ -17,7 +17,11 @@ then exercises the selected targets:
                    return full-index-equivalent match lengths (this build
                    repairs boundary matches, so equality is exact);
   * global       — the distributed exact global SA over a virtual device
-                   mesh, byte-exact vs the oracle.
+                   mesh, byte-exact vs the oracle, incl. distributed
+                   sa_search slot parity;
+  * transforms   — BWT == oracle BWT, unbwt roundtrips (device and
+                   cross-implementation), sa_search/simplesearch parity
+                   on sampled + random needles.
 
 Input lengths are drawn from a fixed per-run pool (adversarial small
 sizes + random sizes) rather than uniformly: every distinct length is a
@@ -170,6 +174,22 @@ def _check_partitioned(data: bytes) -> str | None:
                         f"{s} for {nd[:16]!r}"
                     )
                 s = data.find(best, s + 1)
+    # partitioned sa_search: in-partition count vs host brute force
+    nd = needles[0][:8]
+    if nd:
+        want_pos = []
+        s = data.find(nd)
+        while s != -1:
+            if s // psize == (s + len(nd) - 1) // psize:
+                want_pos.append(s)
+            s = data.find(nd, s + 1)
+        count, first = part.sa_search(nd)
+        if count != len(want_pos) or (
+            want_pos and first != min(want_pos)
+        ):
+            return (f"partitioned({nparts}) sa_search {count}@{first} vs "
+                    f"brute {len(want_pos)}@"
+                    f"{min(want_pos) if want_pos else -1} for {nd[:16]!r}")
     return None
 
 
@@ -200,6 +220,66 @@ def _check_global(data: bytes, mesh, idx64: bool = False) -> str | None:
     except NotSorted as e:
         return (f"global sharded verify rejected a correct SA "
                 f"(depth={depth} fan={fan}): {e}")
+    # distributed sa_search: slot-exact vs the oracle's flat-SA search
+    if len(data) >= 2:
+        s = int(rng.integers(0, len(data) - 1))
+        e = min(len(data), s + int(rng.integers(1, 16)))
+        for nd in (data[s:e], b"\x00"):
+            wc, wl = oracle.search(data, nd, want)
+            gc, gl = g.sa_search(nd)
+            if gc != wc or (gc and gl != wl):
+                return (f"global sa_search mismatch for {nd[:16]!r}: "
+                        f"({gc},{gl}) vs ({wc},{wl})")
+    return None
+
+
+def _check_transforms(data: bytes) -> str | None:
+    """BWT/unBWT and search-path differential checks vs the oracle
+    (the r4 gap: transforms and search were corpus-tested, never fuzzed;
+    ref fuzz surface: crates/divsufsort/fuzz/fuzz_targets/fuzz_target_1.rs
+    covers only sort — this target goes wider than the reference).
+
+      * device bwt == oracle bwt (bytes AND primary index);
+      * unbwt(bwt(x)) == x (device roundtrip);
+      * unbwt(oracle_bwt) == x (cross-implementation roundtrip);
+      * sa_search / sa_simplesearch == oracle on text-sampled + random
+        needles (counts and leftmost SA slots).
+    """
+    from stringsearch_tpu import build_suffix_array, oracle
+    from stringsearch_tpu.transforms.bwt import divbwt, unbwt
+
+    want_u, want_p = oracle.bwt(data)
+    got_u, got_p = divbwt(data)
+    if got_u != want_u or got_p != want_p:
+        return f"bwt mismatch vs oracle (pidx {got_p} vs {want_p})"
+    if unbwt(got_u, got_p) != data:
+        return "unbwt(bwt(x)) != x"
+    if unbwt(want_u, want_p) != data:
+        return "unbwt(oracle bwt) != x"
+    if len(data) == 0:
+        return None
+    sa = build_suffix_array(data)
+    osa = oracle.build(data)
+    rng = _input_rng(data + b"/search")
+    needles = []
+    for _ in range(3):
+        s = int(rng.integers(0, len(data)))
+        e = min(len(data), s + int(rng.integers(1, 32)))
+        needles.append(data[s:e])
+    needles.append(bytes(rng.integers(0, 256, 6, dtype=np.uint8)))
+    for nd in needles:
+        wc, wl = oracle.search(data, nd, osa)
+        gc, gl = sa.search(nd)
+        if gc != wc or (gc and gl != wl):
+            return (f"sa_search mismatch for {nd[:16]!r}: "
+                    f"({gc},{gl}) vs ({wc},{wl})")
+    for c in (int(data[0]), int(rng.integers(0, 256))):
+        wc, wl = oracle.simplesearch(data, c, osa)
+        from stringsearch_tpu.core.search import sa_simplesearch
+
+        gc, gl = sa_simplesearch(sa, c)
+        if gc != wc or (gc and gl != wl):
+            return f"simplesearch mismatch for byte {c}"
     return None
 
 
@@ -256,6 +336,10 @@ def _check(data: bytes, engines, targets, mesh, idx64: bool = False) -> str | No
         err = _check_global(data, mesh, idx64)
         if err:
             return err
+    if "transforms" in targets:
+        err = _check_transforms(data)
+        if err:
+            return err
     return None
 
 
@@ -287,7 +371,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--targets",
         default="engines",
-        help="comma list: engines,partitioned,global",
+        help="comma list: engines,partitioned,global,transforms",
     )
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--out", default="fuzz-crashes")

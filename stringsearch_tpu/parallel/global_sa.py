@@ -419,6 +419,72 @@ def _jit_query(mesh: Mesh, text_mode: str, chunk: int, n: int, n_pad: int,
     )
 
 
+@functools.lru_cache(maxsize=256)
+def _jit_search(mesh: Mesh, text_mode: str, chunk: int, n: int, n_pad: int,
+                steps: int, m_width: int):
+    """Cached compiled distributed exact-occurrence search.
+
+    The sharded re-expression of `sa_search`
+    (ref: c-sources/utils.c:244-325): every shard runs the double binary
+    search (`core.search.sa_search_loop`) over ITS contiguous slice of
+    the global sorted order; because the slices concatenate to the full
+    sorted order, each shard's (lower, upper) insertion bounds are the
+    counts of its entries below the needle, so the GLOBAL bounds are
+    plain psums — count = psum(up - lo), leftmost slot = psum(lo). No
+    device materializes the whole SA; the reduction is two scalar-batch
+    psums over ICI.
+
+    Pad-suffix handling: probe windows mask every byte at global
+    position >= n (the real text end) to PAST_TEXT_END, so pad bytes can
+    neither extend a real match nor let a pad suffix match a nonempty
+    needle; pad slots then compare below every needle and land inside
+    the lower bound, which the caller rebases by `pad`.
+    """
+    from stringsearch_tpu.core import compare as cmp
+    from stringsearch_tpu.core.search import needle_mask_cmp, sa_search_loop
+    from stringsearch_tpu.parallel.gather import sharded_gather_windows
+
+    offs = jnp.arange(m_width, dtype=jnp.int32)
+
+    def per_shard(sa_slice, text_arg, needles, lens):
+        compare = needle_mask_cmp(needles, lens)
+
+        def windows_replicated(pos):
+            starts = jnp.take(sa_slice, jnp.clip(pos, 0, chunk - 1))
+            win = cmp.gather_window(text_arg, starts, m_width)
+            inb = (starts[:, None] + offs[None, :]) < n
+            return jnp.where(inb, win, cmp.PAST_TEXT_END)
+
+        def windows_sharded(pos):
+            starts = jnp.take(sa_slice, jnp.clip(pos, 0, chunk - 1))
+            win = sharded_gather_windows(
+                text_arg, starts, m_width, _AXIS
+            ).astype(jnp.int32)
+            inb = (starts[:, None] + offs[None, :]) < n
+            return jnp.where(inb, win, cmp.PAST_TEXT_END)
+
+        windows_at = (windows_replicated if text_mode == "replicated"
+                      else windows_sharded)
+        lo, up = sa_search_loop(
+            lambda pos: compare(windows_at(pos)),
+            chunk, needles.shape[0], steps,
+        )
+        count = jax.lax.psum(up - lo, _AXIS)
+        left = jax.lax.psum(lo, _AXIS)
+        return count, left
+
+    text_spec = P() if text_mode == "replicated" else P(_AXIS)
+    return jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(_AXIS), text_spec, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 class GlobalSuffixArray:
     """Exact suffix array of a mesh-sharded text (multi-chip, one index).
 
@@ -609,6 +675,58 @@ class GlobalSuffixArray:
 
     def longest_substring_match(self, needle):
         return self.longest_substring_match_batch([needle])[0]
+
+    def sa_search_batch(self, needles, text_mode: str = "replicated"):
+        """Batched exact-occurrence search: [(count, left_slot)] per
+        needle — distributed over the mesh (see `_jit_search`).
+
+        Semantics are identical to the single-device `sa_search` / the
+        reference's flat-SA search (ref: c-sources/utils.c:244-325):
+        `count` = number of suffixes of the WHOLE text whose prefix is
+        the needle, `left_slot` = the slot of the leftmost occurrence in
+        the (unpadded) global SA — byte-compatible with the oracle's
+        `sa_search` output on the same text. `text_mode` as in
+        `longest_substring_match_batch` ("replicated" | "sharded").
+        """
+        from stringsearch_tpu.core.search import (
+            _ceil_log2,
+            _needle_batch_to_windows,
+        )
+
+        if text_mode not in ("replicated", "sharded"):
+            raise ValueError(f"unknown text_mode {text_mode!r}")
+        if not needles:
+            return []
+        padded, lens, _w = _needle_batch_to_windows(needles)
+        chunk = self.chunk_len
+        steps = _ceil_log2(chunk + 1) + 1
+        search = _jit_search(self.mesh, text_mode, chunk, self.n,
+                             chunk * self.num_shards, steps,
+                             padded.shape[-1])
+        count, left = search(self._sa_sharded, self.text_padded,
+                             jnp.asarray(padded), jnp.asarray(lens))
+        both = np.asarray(jnp.stack([count, left]))  # one host fetch
+        count, left = both[0], both[1]
+        out = []
+        for i, nd in enumerate(needles):
+            if len(bytes(nd)) == 0:
+                # empty needle: every real suffix matches the empty
+                # prefix (the kernel's all-masked compare degenerates)
+                out.append((self.n, 0))
+            else:
+                out.append((int(count[i]), int(left[i]) - self.pad))
+        return out
+
+    def sa_search(self, needle, text_mode: str = "replicated"):
+        return self.sa_search_batch([needle], text_mode)[0]
+
+    def sa_simplesearch(self, c: int, text_mode: str = "replicated"):
+        """(count, left_slot) of suffixes starting with byte `c` — the
+        distributed `sa_simplesearch` (ref: c-sources/utils.c:328-381),
+        expressed as a 1-byte `sa_search` (the dedicated searchsorted
+        kernel is a single-device optimization; here the probe cost is
+        already one collective-free window fetch per step)."""
+        return self.sa_search(bytes([c]), text_mode)
 
     def to_suffix_array_index(self):
         """Materialize a single-device `SuffixArray` for the query API."""

@@ -39,6 +39,8 @@ from stringsearch_tpu.core.search import (
     _ceil_log2,
     _needle_batch_to_windows,
     lcs_loop,
+    needle_mask_cmp,
+    sa_search_loop,
 )
 from stringsearch_tpu.core.types import (
     BytesLike,
@@ -110,6 +112,62 @@ def partitioned_query(chunks, sas, full_text, real_lens, needles, lens, steps: i
     best_len = jnp.max(true_len, axis=0)
     best_start = jnp.take_along_axis(global_starts, best_p[None, :], axis=0)[0]
     return best_start, jnp.maximum(best_len, 0)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def partitioned_search(chunks, sas, real_lens, needles, lens, steps: int):
+    """Batched in-partition exact-occurrence search over all partitions.
+
+    Returns (count [B], first [B]): `count` = occurrences lying entirely
+    inside SOME partition (summed — partitions are disjoint, so no
+    occurrence is counted twice); `first` = smallest global text
+    position among those occurrences, -1 when count is 0.
+
+    Each partition runs the shared double binary search
+    (core.search.sa_search_loop) over its own SA with windows masked at
+    the partition's REAL length, so (a) pad bytes never extend a match
+    and (b) a suffix that runs out at the partition end cannot match a
+    longer needle — exactly the "occurrence fits inside the partition"
+    predicate. The last partition's pad slots hold DUPLICATES of its
+    smallest real suffix (see the constructor note); duplicates landing
+    inside [lo, up) are subtracted from the count (their positions
+    cannot perturb `first`: the original is in range with the same
+    position).
+    """
+    p, chunk_len = chunks.shape
+    m_width = needles.shape[-1]
+    b = needles.shape[0]
+    compare = needle_mask_cmp(needles, lens)
+    offs = jnp.arange(m_width, dtype=jnp.int32)
+
+    def search_one(chunk, sa, real_len):
+        def cmp_at(pos):
+            starts = jnp.take(sa, jnp.clip(pos, 0, chunk_len - 1))
+            win = cmp.gather_window(chunk, starts, m_width)
+            inb = (starts[:, None] + offs[None, :]) < real_len
+            return compare(jnp.where(inb, win, cmp.PAST_TEXT_END))
+
+        return sa_search_loop(cmp_at, chunk_len, b, steps)
+
+    lo, up = jax.vmap(search_one)(chunks, sas, real_lens)  # [P, B] each
+    pad_p = (jnp.asarray(chunk_len, jnp.int32) - real_lens)[:, None]  # [P,1]
+    dup_in_range = jnp.clip(pad_p - lo, 0, up - lo)
+    counts = up - lo - dup_in_range
+    total = jnp.sum(counts, axis=0)  # [B]
+
+    # exact leftmost global text position: masked min over every
+    # occurrence slot (the [B, P, L] broadcast fuses into the reduce —
+    # one O(B*n) bandwidth-bound pass, no materialization)
+    j = jnp.arange(chunk_len, dtype=jnp.int32)
+    offsets = jnp.arange(p, dtype=jnp.int32) * chunk_len
+    in_range = (j[None, None, :] >= lo.T[:, :, None]) & (
+        j[None, None, :] < up.T[:, :, None]
+    )  # [B, P, L]
+    gpos = sas[None, :, :] + offsets[None, :, None]
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    first = jnp.min(jnp.where(in_range, gpos, big), axis=(1, 2))
+    first = jnp.where(total > 0, first, -1)
+    return total, first
 
 
 class PartitionedSuffixArray:
@@ -230,3 +288,47 @@ class PartitionedSuffixArray:
     def longest_substring_match(self, needle: BytesLike) -> LongestCommonSubstring:
         """Ref: crates/sacapart/src/lib.rs:65-98 (StringIndex impl)."""
         return self.longest_substring_match_batch([needle])[0]
+
+    def sa_search_batch(self, needles: Sequence[BytesLike]):
+        """Batched exact search: [(count, first_text_pos)] per needle.
+
+        PARTITIONED SEMANTICS (documented divergence from the flat-SA
+        `sa_search`, ref c-sources/utils.c:244-325, which this
+        re-expresses per partition): `count` is the number of
+        occurrences lying entirely inside a single partition — an
+        occurrence crossing a partition boundary is NOT counted (the
+        same boundary degradation the reference pins for partitioned
+        matches, ref crates/sacapart/src/lib.rs:5-25), so
+        count <= the full-index count, with equality whenever no
+        occurrence crosses a boundary. There is no meaningful global SA
+        slot for a partitioned index, so the second element is the
+        smallest global TEXT position of a counted occurrence (-1 when
+        count is 0) instead of the reference's SA index.
+        """
+        if not needles:
+            return []
+        n = int(self.text.shape[0])
+        out_empty = [(len(bytes(nd)) == 0) for nd in needles]
+        if n == 0:
+            return [(0, -1) for _ in needles]
+        padded, lens, _w = _needle_batch_to_windows(needles)
+        steps = _ceil_log2(self.partition_size + 1) + 1
+        count, first = partitioned_search(
+            self.chunks, self.sas, self.real_lens,
+            jnp.asarray(padded), jnp.asarray(lens), steps,
+        )
+        both = np.asarray(jnp.stack([count, first]))  # one host fetch
+        count, first = both[0], both[1]
+        return [
+            (n, 0) if out_empty[i] else (int(count[i]), int(first[i]))
+            for i in range(len(needles))
+        ]
+
+    def sa_search(self, needle: BytesLike):
+        return self.sa_search_batch([needle])[0]
+
+    def sa_simplesearch(self, c: int):
+        """(count, first_text_pos) for the single byte `c` (ref:
+        c-sources/utils.c:328-381). Single-byte occurrences never cross
+        a boundary, so the count equals the full-text count exactly."""
+        return self.sa_search(bytes([c]))

@@ -190,3 +190,65 @@ def test_global_query_sharded_text_mode(mesh8):
     for nd, a, b in zip(needles, rep, shd):
         assert a.len == b.len, (nd, a.len, b.len)
         assert text[b.start : b.start + b.len] == nd[: b.len]
+
+
+def _oracle_search(text: bytes, needle: bytes):
+    from stringsearch_tpu import oracle
+
+    return oracle.search(text, needle, oracle.build(text))
+
+
+def test_global_sa_search_matches_oracle(mesh8):
+    """Distributed sa_search must be slot-exact vs the C oracle's
+    flat-SA search (ref: c-sources/utils.c:244-325) — the global index
+    IS the SA of the whole text, so counts AND left slots agree."""
+    text = enwik_like(3000, seed=21)
+    g = build_global(text, mesh8)
+    rng = np.random.default_rng(5)
+    needles = [bytes(text[s : s + int(rng.integers(1, 24))])
+               for s in rng.integers(0, len(text) - 24, 12)]
+    needles += [b"zzzzzz-not-present", b"\x00", b"a", text[:1]]
+    got = g.sa_search_batch(needles)
+    for nd, (count, left) in zip(needles, got):
+        wc, wl = _oracle_search(text, nd)
+        assert count == wc, (nd, count, wc)
+        if count:
+            assert left == wl, (nd, left, wl)
+
+
+def test_global_sa_search_pad_and_nul_edges(mesh8):
+    """Needles that could falsely extend into the zero pad, and NUL
+    needles that must match real NULs but never pad bytes."""
+    text = b"ab\x00\x00ab" * 9 + b"ab"  # length 56: pads on the 8-mesh
+    g = build_global(text, mesh8)
+    for nd in (b"ab", b"ab\x00", b"\x00", b"\x00\x00", b"\x00\x00a", b"b"):
+        wc, wl = _oracle_search(text, nd)
+        got = g.sa_search(nd)
+        assert got[0] == wc, (nd, got, (wc, wl))
+        if got[0]:
+            assert got[1] == wl, (nd, got, (wc, wl))
+
+
+def test_global_sa_search_sharded_text_mode(mesh8):
+    text = enwik_like(2000, seed=31)
+    g = build_global(text, mesh8)
+    needles = [text[100:110], b"missing!", text[40:41]]
+    rep = g.sa_search_batch(needles, text_mode="replicated")
+    sh = g.sa_search_batch(needles, text_mode="sharded")
+    assert rep == sh
+    for nd, got in zip(needles, rep):
+        assert got[0] == _oracle_search(text, nd)[0]
+
+
+def test_global_simplesearch(mesh8):
+    from stringsearch_tpu import oracle
+
+    text = enwik_like(1500, seed=41)
+    g = build_global(text, mesh8)
+    osa = oracle.build(text)
+    for c in (ord("a"), ord(" "), 0, 255):
+        count, left = g.sa_simplesearch(c)
+        wc, wl = oracle.simplesearch(text, c, osa)
+        assert count == wc, (c, count, wc)
+        if count:
+            assert left == wl

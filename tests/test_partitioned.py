@@ -101,3 +101,59 @@ def test_zero_needle_pad_suffix_regression():
         want = full.longest_substring_match(nd)
         assert got.len == want.len, nd
         assert data[got.start : got.start + got.len] == nd[: got.len]
+
+
+def test_partitioned_sa_search_counts():
+    """In-partition counts: equal to the brute-force per-partition count,
+    <= the full-text count, equal when no occurrence crosses a boundary."""
+    rng = np.random.default_rng(77)
+    text = bytes(rng.integers(0, 4, 600, dtype=np.uint8))
+    for nparts in (1, 2, 3, 4):
+        p = st.PartitionedSuffixArray(text, nparts)
+        psize = p.partition_size
+        needles = [text[i : i + k] for i, k in
+                   [(5, 2), (100, 3), (0, 1), (250, 6), (590, 10)]]
+        needles += [b"\x05\x06", b"\x00", b"\x03\x03\x03"]
+        got = p.sa_search_batch(needles)
+        for nd, (count, first) in zip(needles, got):
+            want_pos = []
+            s = text.find(nd)
+            while s != -1:
+                if s // psize == (s + len(nd) - 1) // psize:
+                    want_pos.append(s)
+                s = text.find(nd, s + 1)
+            assert count == len(want_pos), (nparts, nd, count, len(want_pos))
+            if want_pos:
+                assert first == min(want_pos), (nparts, nd, first)
+            else:
+                assert first == -1
+
+
+def test_partitioned_sa_search_pad_duplicates_not_counted():
+    """The last partition's pad slots duplicate its smallest real
+    suffix; those duplicates must not inflate counts."""
+    text = b"aaaa aaaa aa"  # 12 bytes -> parts of 5/5/2 with 3 pad slots
+    p = st.PartitionedSuffixArray(text, 3)
+    count, first = p.sa_search(b"a")
+    assert count == text.count(b"a")
+    assert first == 0
+    count, first = p.sa_search(b"aa")
+    want = sum(
+        1 for s in range(len(text) - 1)
+        if text[s : s + 2] == b"aa"
+        and s // p.partition_size == (s + 1) // p.partition_size
+    )
+    assert count == want
+
+
+def test_partitioned_simplesearch_matches_full_text():
+    rng = np.random.default_rng(3)
+    text = bytes(rng.integers(0, 256, 500, dtype=np.uint8))
+    p = st.PartitionedSuffixArray(text, 4)
+    for c in (0, 65, 255, text[0]):
+        count, first = p.sa_simplesearch(c)
+        assert count == text.count(bytes([c]))
+        if count:
+            assert first == text.find(bytes([c]))
+        else:
+            assert first == -1
