@@ -369,6 +369,116 @@ def bucketed_initial(log_n: int, reps: int = 3) -> dict:
     return out
 
 
+def radix_probe(log_n: int, reps: int = 3) -> dict:
+    """The round-5 decision experiment: Pallas MSD radix-partition
+    stage costs vs the incumbent `lax.sort` (see ops/radix.py).
+
+    Measures on real hardware:
+      baseline  — flat 1-key+payload lax.sort of n uint32 pairs;
+      hist      — phase 1: per-block 256-bin histograms (tile 8192);
+      group_T   — phase 2a: VMEM bucket staging at tile T;
+      flushG_*  — phase 2b: granule-G DMA scatter of n elements to
+                  random / sequential granule destinations;
+      pass8_est(T, G) — composed best-case 8-bit partition pass:
+                  hist + group_T + 2x flush_G scaled by the
+                  granule-quantized volume (keys + payloads, with
+                  ceil(T/256/G) granules per (block, bin) segment),
+                  plus the pad-overhead factor downstream consumers
+                  must absorb.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stringsearch_tpu.ops import radix
+
+    n = 1 << log_n
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.randint(
+        key, (n,), 0, 1 << 31, dtype=jnp.int32
+    ).astype(jnp.uint32) * 2 + (jnp.arange(n, dtype=jnp.uint32) & 1)
+    pay = jnp.arange(n, dtype=jnp.int32)
+    out = {"n": n}
+
+    out["t_sort_1key_2op"] = round(_timeit(
+        jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1)),
+        keys, pay, reps=reps), 4)
+
+    # correctness gates on-device before timing (small slices)
+    import numpy as np_
+
+    hk = np_.asarray(keys[: 4 * 8192])
+    hp = np_.asarray(pay[: 4 * 8192])
+    ok_h = radix.check_histogram(hk, tile=8192)
+    ok_g = radix.check_local_group(hk[:4096], hp[:4096], tile=1024)
+    ok_f = radix.check_granule_flush()
+    out["checks"] = {"hist": ok_h, "group": ok_g, "flush": ok_f}
+
+    out["t_hist"] = round(_timeit(
+        lambda k: radix.block_histograms(k, tile=8192), keys,
+        reps=reps), 4)
+
+    group_t = {}
+    for tile in (512, 1024, 2048):
+        try:
+            group_t[tile] = round(_timeit(
+                lambda k, p, t=tile: radix.local_group(k, p, tile=t),
+                keys, pay, reps=reps), 4)
+        except Exception as e:
+            group_t[tile] = f"error: {repr(e)[:120]}"
+    out["t_group"] = group_t
+
+    flush_t = {}
+    for granule in (32, 128, 512, 2048):
+        rows = n // granule
+        per_block = max(1, min(rows, (1 << 21) // (granule * 4)))
+        while rows % per_block:
+            per_block -= 1
+        rng = np_.random.default_rng(1)
+        desc_rand = jnp.asarray(
+            rng.permutation(rows).astype(np_.int32))
+        desc_seq = jnp.arange(rows, dtype=jnp.int32)
+        src = pay.reshape(rows, granule)
+        try:
+            t_r = _timeit(
+                lambda d, s, g=granule, pb=per_block, r=rows:
+                radix.granule_flush(d, s, g, pb, r),
+                desc_rand, src, reps=reps)
+            t_s = _timeit(
+                lambda d, s, g=granule, pb=per_block, r=rows:
+                radix.granule_flush(d, s, g, pb, r),
+                desc_seq, src, reps=reps)
+            flush_t[granule] = {
+                "rand_s": round(t_r, 4), "seq_s": round(t_s, 4),
+                "rand_gb_per_s": round(n * 4 / t_r / 1e9, 2),
+                "per_block": per_block,
+            }
+        except Exception as e:
+            flush_t[granule] = {"error": repr(e)[:120]}
+    out["t_flush"] = flush_t
+
+    # composition: best-case assembled 8-bit pass
+    est = {}
+    for tile, tg in group_t.items():
+        if not isinstance(tg, float):
+            continue
+        for granule, tf in flush_t.items():
+            if "rand_s" not in tf:
+                continue
+            nblocks = n // tile
+            granules_real = nblocks * 256 * (
+                -(-tile // (256 * granule)))
+            volume_factor = granules_real * granule / n
+            t_pass = (out["t_hist"] + tg
+                      + 2 * tf["rand_s"] * volume_factor)
+            est[f"T{tile}_G{granule}"] = {
+                "t_pass_est": round(t_pass, 4),
+                "pad_factor": round(volume_factor, 3),
+                "vs_sort": round(t_pass / out["t_sort_1key_2op"], 3),
+            }
+    out["pass8_est"] = est
+    return out
+
+
 def config_sweep(log_n: int, reps: int = 2, configs=None) -> dict:
     """End-to-end fused build wall time across configurations.
 
@@ -414,7 +524,8 @@ def config_sweep(log_n: int, reps: int = 2, configs=None) -> dict:
 def main() -> None:
     p = argparse.ArgumentParser(prog="microbench")
     p.add_argument("mode", choices=["ops", "phases", "tiedcurve",
-                                    "extract", "bucketed", "sweep"])
+                                    "extract", "bucketed", "sweep",
+                                    "radix"])
     p.add_argument("--n", type=int, default=24, help="log2 of element count")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--depth", type=int, default=None,
@@ -447,6 +558,8 @@ def main() -> None:
                                           reps=args.reps, **dkw)))
     elif args.mode == "bucketed":
         print(json.dumps(bucketed_initial(args.n, args.reps)))
+    elif args.mode == "radix":
+        print(json.dumps(radix_probe(args.n, args.reps)))
     elif args.mode == "sweep":
         cfgs = None
         if args.configs:

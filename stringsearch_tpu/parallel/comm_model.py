@@ -14,17 +14,23 @@ Communication inventory of one `GlobalSuffixArray` build (see
 parallel/global_sa.py, parallel/distsort.py):
 
   initial:   1 sharded_sort over (depth/4 key words + gidx)   [nk+1 ops]
-             + 1 redistribute sharded_sort (gidx, rank)        [2 ops]
+             + 1 all_to_all permutation redistribute           [2 ops]
              + 1 neighbor ppermute of `depth` bytes (window)
   per round: (fan-1) rank-shift fetches, <= 2 chunk ppermutes each
-             + 1 sharded_sort over (rank, fan-1 shifts, gidx)  [fan+1 ops]
-             + 1 redistribute sharded_sort (gidx, rank)        [2 ops]
-             + O(1) scalar all_gathers (dense-rank offsets, done flag)
+             + 1 rank_interval_sort over (rank, shifts, gidx)
+               [fan+1 ops: one all_to_all at cap 2*ceil(L/P) per pair
+                + one boundary ppermute of cap elements]
+             + 1 all_to_all permutation redistribute (rank)    [2 ops]
+             + O(1) scalar all_gathers (head carries, done flag)
 
-One sharded_sort of P power-of-two shards is bitonic merge-split with
-S(P) = log2(P)*(log2(P)+1)/2 comparator stages; each stage exchanges the
-device's FULL chunk of every operand with its partner (ppermute), so a
-device sends (and receives) S(P) * L * ops * width bytes per sort.
+One merge-split sharded_sort (the initial sort and every fallback) of P
+power-of-two shards is bitonic with S(P) = log2(P)*(log2(P)+1)/2
+comparator stages; each stage exchanges the device's FULL chunk of
+every operand with its partner (ppermute), so a device sends (and
+receives) S(P) * L * ops * width bytes per sort. The round-5
+rank_interval_sort replaces that with ~2L elements per operand per
+sort on the fast path — the S(P)-fold wire cut that moves the P=8
+projection from 59% toward 80%.
 """
 
 from __future__ import annotations
@@ -86,6 +92,21 @@ class CommReport:
         return compute_seconds_per_chip / (compute_seconds_per_chip + comm)
 
 
+def rank_interval_sort_bytes_per_device(p: int, chunk_elems: int,
+                                        n_ops: int, width: int = 4,
+                                        cap_factor: int = 2) -> int:
+    """Bytes sent per device by one `rank_interval_sort` fast path: one
+    all_to_all of n_ops [P, cap] buffers (cap imported from the
+    implementation so the model cannot drift) plus the boundary-repair
+    ppermute of one cap-row per operand. The adversarial fallback is a
+    full merge-split sort (`sharded_sort_bytes_per_device`); on
+    text-like data the fast path is what runs (fuzz exercises both)."""
+    from stringsearch_tpu.parallel.distsort import redistribute_cap
+
+    cap = redistribute_cap(p, chunk_elems, cap_factor)
+    return (cap * p + cap) * n_ops * width
+
+
 def redistribute_bytes_per_device(p: int, chunk_elems: int,
                                   n_payloads: int = 1, width: int = 4,
                                   cap_factor: int = 2) -> int:
@@ -103,7 +124,8 @@ def redistribute_bytes_per_device(p: int, chunk_elems: int,
 
 def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
                       rounds: int | None = None, idx_width: int = 4,
-                      a2a_redistribute: bool = True) -> CommReport:
+                      a2a_redistribute: bool = True,
+                      interval_round_sort: bool = True) -> CommReport:
     """Exact per-device communication volume of a GlobalSuffixArray build.
 
     `rounds`: pass the actual `GlobalSuffixArray.rounds_run` when known;
@@ -111,6 +133,9 @@ def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
     marker round), matching global_sa's h schedule.
     `a2a_redistribute`: model the all_to_all rank redistribute (the
     shipped fast path) rather than the merge-split fallback.
+    `interval_round_sort`: model the round sort as the shipped
+    rank-interval all_to_all route (round 5) rather than the bitonic
+    merge-split fallback.
     """
     chunk = max(-(-max(n, p) // p), 4)
     n_pad = chunk * p
@@ -123,18 +148,36 @@ def global_build_comm(n: int, p: int, depth: int = 16, fan: int = 3,
         redist = redistribute_bytes_per_device(p, chunk, 1, idx_width)
     else:
         redist = sharded_sort_bytes_per_device(p, chunk, 2, idx_width)
+    if interval_round_sort and p > 2:
+        # the implementation's own branch: interval routing only for
+        # P >= 4, where it beats S(P) merge-split stages (distsort.py)
+        round_sort = rank_interval_sort_bytes_per_device(
+            p, chunk, fan + 1, idx_width)
+    else:
+        round_sort = sharded_sort_bytes_per_device(
+            p, chunk, fan + 1, idx_width)
     init = (
         sharded_sort_bytes_per_device(p, chunk, nk + 1)
         + redist
         + depth  # neighbor window ppermute
     )
-    shift_ppermutes = 2 * (fan - 1)  # <= 2 chunk hops per shifted key
+    # shifted-key fetches: while k*h < L the source window spans only
+    # the immediate next shard (from_offset(0) is free in the code), so
+    # a shifted key costs ONE chunk ppermute; saturated tail rounds
+    # (k*h >= L) pay two. Count exactly from the h schedule.
     per_round = (
-        shift_ppermutes * chunk * idx_width
-        + sharded_sort_bytes_per_device(p, chunk, fan + 1, idx_width)
+        (fan - 1) * chunk * idx_width  # typical (h < L) round
+        + round_sort
         + redist
     )
-    total = init + rounds * per_round
+    hop_extra = 0
+    h = depth
+    for _ in range(rounds):
+        for k in range(1, fan):
+            if k * h >= chunk:  # second neighbor hop needed
+                hop_extra += chunk * idx_width
+        h = min(h * fan, n_pad)
+    total = init + rounds * per_round + hop_extra
     return CommReport(p=p, chunk_elems=chunk, rounds=rounds, fan=fan,
                       depth=depth, idx_width=idx_width, initial_bytes=init,
                       per_round_bytes=per_round, total_bytes=total)

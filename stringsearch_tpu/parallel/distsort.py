@@ -185,6 +185,115 @@ def redistribute_permutation(gidx, operands, axis_name: str,
     return jax.lax.cond(overflow, slow, fast, None)
 
 
+def rank_interval_sort(operands, axis_name: str, num_keys: int,
+                       cap_factor: int = 2):
+    """Global sort whose primary key is a HEAD-SLOT RANK — one
+    all_to_all + local sort + one boundary ppermute instead of the
+    merge-split network's S(P) full-chunk exchanges (at P=8: ~6x less
+    wire on the sort itself; see parallel/comm_model.py).
+
+    Precondition (what makes interval routing exact): operand[0] holds
+    head-slot ranks of the CURRENT global order — the value r of an
+    element is the global slot of its tie-group's first member, so the
+    element's final sorted slot lies in [r, r + group_size). Routing to
+    shard r // L therefore sends every element to the shard where its
+    group STARTS; after a local sort, each shard's elements occupy the
+    contiguous global slot range [s*L + overhang_s, (s+1)*L +
+    overhang_{s+1}) where overhang_s = (elements of lower intervals
+    spilling past slot s*L) >= 0, and ONE neighbor ppermute of the
+    right-aligned tail repairs the boundaries exactly.
+
+    Fast-path capacities (static; replicated overflow flags fall back
+    to `sharded_sort`, which has none):
+      * per-(source, dest) all_to_all capacity `redistribute_cap`
+        (near-balanced rank distributions fit; adversarial skew —
+        e.g. few giant tie groups — overflows);
+      * boundary-shift capacity = the same cap (overhang < group size,
+        so a tie group larger than the cap straddling a shard boundary
+        overflows).
+
+    Returns operands globally sorted by the first `num_keys` operands
+    (ties broken arbitrarily unless the key tuple is unique — append a
+    position operand, as `sharded_sort` requires too). Runs inside
+    shard_map. (What is being surpassed: the reference's rayon
+    partitions never reconcile cross-shard order at all,
+    ref: crates/sacapart/src/lib.rs:45-51.)
+    """
+    operands = tuple(operands)
+    p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    length = operands[0].shape[0]
+    if p == 1:
+        return jax.lax.sort(operands, num_keys=num_keys)
+    if p == 2:
+        # S(2) = 1 merge-split stage moves L per operand; the interval
+        # route's cap clamps to L at P=2, so its all_to_all + boundary
+        # repair would move ~3L — merge-split wins below P=4
+        # (parallel/comm_model.py has the same branch)
+        return sharded_sort(operands, axis_name, num_keys=num_keys)
+    rank = operands[0]
+    dtype = rank.dtype
+    import numpy as np
+
+    sent = jnp.asarray(np.iinfo(np.dtype(dtype)).max, dtype)
+    dest = jnp.clip(rank // length, 0, p - 1).astype(jnp.int32)
+    srt = jax.lax.sort((dest,) + operands, num_keys=1)
+    dest_s, ops_s = srt[0], srt[1:]
+    i = jnp.arange(length, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(dest_s, dest_s, side="left").astype(
+        jnp.int32)
+    seg_rank = i - seg_start
+    cap = redistribute_cap(p, length, cap_factor)
+    overflow = jax.lax.psum(
+        jnp.any(seg_rank >= cap).astype(jnp.int32), axis_name) > 0
+
+    def fast(_):
+        # receive buffer = p * cap rows (every pair at full capacity)
+        recvs = []
+        for k, op_s in enumerate(ops_s):
+            fill = sent if k == 0 else jnp.asarray(0, op_s.dtype)
+            send = jnp.full((p, cap), fill, op_s.dtype)
+            send = send.at[dest_s, seg_rank].set(op_s, mode="drop")
+            recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                      concat_axis=0, tiled=True)
+            recvs.append(recv.reshape(-1))
+        # local sort of the padded buffer; pads (rank = sent) sort last
+        srt2 = jax.lax.sort(tuple(recvs), num_keys=max(num_keys, 1))
+        n_valid = jnp.sum((srt2[0] != sent).astype(jnp.int32))
+        prefix = exclusive_shard_offset(n_valid, axis_name)
+        oh_me = prefix - me * length          # my head deficit
+        oh_next = prefix + n_valid - (me + 1) * length  # my tail spill
+        bad = (oh_me < 0) | (oh_me > cap) | (oh_next < 0) | (oh_next > cap)
+        bad = jax.lax.psum(bad.astype(jnp.int32), axis_name) > 0
+        # shard p-1 has oh_next == 0 by construction (prefix+valid == n)
+
+        def repair(_):
+            perm = [(t, (t + 1) % p) for t in range(p)]
+            outs = []
+            zero_head = jnp.zeros((cap,), jnp.int32)
+            for op2 in srt2:
+                ext = jnp.concatenate([zero_head.astype(op2.dtype), op2])
+                # right-aligned tail [n_valid - cap, n_valid) of the
+                # valid region; receivers read only the last oh slots
+                tail = jax.lax.dynamic_slice_in_dim(ext, n_valid, cap)
+                head = jax.lax.ppermute(tail, axis_name, perm)
+                head = jnp.where(me == 0, jnp.zeros_like(head), head)
+                asm = jnp.concatenate([head, op2])
+                outs.append(jax.lax.dynamic_slice_in_dim(
+                    asm, cap - oh_me, length))
+            return tuple(outs)
+
+        def fb(_):
+            return sharded_sort(operands, axis_name, num_keys=num_keys)
+
+        return jax.lax.cond(bad, fb, repair, None)
+
+    def slow(_):
+        return sharded_sort(operands, axis_name, num_keys=num_keys)
+
+    return jax.lax.cond(overflow, slow, fast, None)
+
+
 def exclusive_shard_offset(local_sum: jnp.ndarray, axis_name: str):
     """Sum of `local_sum` over all lower-indexed shards (exclusive scan).
 

@@ -5,8 +5,9 @@ This is the "stretch goal" capability beyond the reference: `sacapart`
 per-partition SAs and accepts degraded cross-boundary matches. Here the
 text lives sharded over the mesh's "parts" axis and the engine produces
 the exact suffix array OF THE WHOLE TEXT, with every doubling round's
-global sort running as a chunk-level bitonic merge-split over ICI
-(parallel/distsort.py). During the BUILD no device ever holds the full
+global sort running as a rank-interval-routed all_to_all (merge-split
+fallback on adversarial skew, parallel/distsort.py). During the BUILD
+no device ever holds the full
 text or SA. The batched query path (`longest_substring_match_batch`)
 offers two text-residency modes: "replicated" (default — fastest, but
 per-chip HBM bounds the queryable size) and "sharded" (every binary-
@@ -37,10 +38,14 @@ ref: crates/divsufsort/src/trsort.rs:1363-1410), re-expressed shard-wise:
        shortest first (the raw-byte zero pad conflates "ended" with a
        real 0x00 byte, exactly as in engines/doubling.py — the marker
        protocol is what repairs it);
-    2. global sort by (rank, rank_h, gidx) — sharded bitonic merge-split;
-    3. new dense ranks: local neighbor-diff flags with the boundary value
-       shifted in from the previous shard, local cumsum + exclusive
-       all-gather offset = global cumsum;
+    2. global sort by (rank, rank_h, gidx) — the primary key is a
+       HEAD-SLOT rank, so the sort routes elements to shard rank//L
+       with ONE all_to_all + a boundary ppermute instead of the bitonic
+       merge-split network's S(P) full exchanges (distsort.py
+       `rank_interval_sort`; merge-split is the overflow fallback);
+    3. new head-slot ranks: local neighbor-diff flags with the boundary
+       value shifted in from the previous shard, local cummax of head
+       slots + an all-gathered cross-shard head carry;
     4. redistribute ranks to text order by globally sorting (gidx, rank) —
        sorting by the permutation index IS the inverse scatter, and it
        re-balances shards exactly (shard s ends up with positions
@@ -78,7 +83,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stringsearch_tpu.core.types import BytesLike, as_text_array
 from stringsearch_tpu.parallel.distsort import (
-    exclusive_shard_offset,
+    rank_interval_sort,
     redistribute_permutation,
     sharded_sort,
     shift_in_from_prev,
@@ -101,32 +106,55 @@ def _global_iota(chunk_len: int, idx):
     return me * chunk_len + jnp.arange(chunk_len, dtype=idx)
 
 
-def _gmax(x):
-    """Cross-shard max of a scalar via all_gather + local reduce.
+def _gmin(x):
+    """Cross-shard min of a scalar via all_gather + local reduce.
 
     TPU lowers 64-bit all-reduces only for SUM (measured on the v5e AOT
-    path: 'Supported lowering only of Sum all reduce' for an s64 pmax),
+    path: 'Supported lowering only of Sum all reduce' for an s64 pmin),
     so the i64 index mode cannot use lax.pmax/pmin on ranks. An
     all_gather of one scalar costs the same collective class and lowers
     for every dtype.
     """
-    return jnp.max(jax.lax.all_gather(x, _AXIS))
-
-
-def _gmin(x):
     return jnp.min(jax.lax.all_gather(x, _AXIS))
 
 
-def _dense_ranks_from_sorted(eq_prev: jnp.ndarray, idx):
-    """Global dense rank of each sorted element from `same as previous` flags.
+def _headslot_ranks_from_sorted(eq_prev: jnp.ndarray, idx):
+    """Global HEAD-SLOT rank of each sorted element + resolution flag.
+
+    The head-slot rank is the global sorted slot of the element's
+    tie-group FIRST member — order-isomorphic to a dense rank (the
+    doubling algebra only needs order), equal to the final ISA once
+    every group is a singleton, and the representation the
+    rank-interval round sort's routing invariant requires: an element
+    with rank r has its final slot in [r, r + group_size), so shard
+    r // L is where its group starts (parallel/distsort.py
+    `rank_interval_sort`). The single-chip engine has used head-slot
+    ranks since round 2 (engines/doubling.py `_heads_and_tied`).
 
     eq_prev: bool [L], True where the element's key equals its global
-    predecessor's (shard-boundary handled by the caller).
+    predecessor's (shard-boundary handled by the caller). Returns
+    (rank [L], done bool scalar): done ⟺ every slot is its own head.
+    The carry for shards whose first elements continue an earlier
+    shard's group is a masked max over an all-gather of per-shard last
+    local heads (a headless shard contributes -1, so the max lands on
+    the latest shard that actually saw a group head).
     """
-    new_flag = (~eq_prev).astype(idx)
-    local = jnp.cumsum(new_flag)
-    offset = exclusive_shard_offset(local[-1], _AXIS)
-    return local + offset - 1  # global 0-based dense ranks
+    p = jax.lax.axis_size(_AXIS)
+    me = jax.lax.axis_index(_AXIS)
+    length = eq_prev.shape[0]
+    gslot = _global_iota(length, idx)
+    new_flag = ~eq_prev
+    head_local = jax.lax.cummax(
+        jnp.where(new_flag, gslot, jnp.asarray(-1, idx))
+    )
+    lasts = jax.lax.all_gather(head_local[-1], _AXIS)  # [P]
+    mask = jnp.arange(p, dtype=jnp.int32) < me
+    carry = jnp.max(jnp.where(mask, lasts, jnp.asarray(-1, idx)))
+    rank = jnp.where(head_local >= 0, head_local, carry)
+    tied = jax.lax.psum(
+        jnp.sum((rank != gslot).astype(jnp.int32)), _AXIS
+    )
+    return rank, tied == 0
 
 
 def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
@@ -171,13 +199,11 @@ def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
     eq_prev = eq_prev & ~(
         (me == 0) & (jnp.arange(length) == 0)
     )
-    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
+    rank_s, done = _headslot_ranks_from_sorted(eq_prev, idx)
     # back to text order: gidx_s is a permutation, so this is one
     # all_to_all (merge-split fallback on adversarial skew) instead of a
     # full distributed sort — ~3x less redistribute wire volume at P=8
     (rank,) = redistribute_permutation(gidx_s, (rank_s,), _AXIS)
-    n_pad = length * p
-    done = _gmax(jnp.max(rank_s)) == n_pad - 1
     return rank, gidx_s, done
 
 
@@ -232,7 +258,13 @@ def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
         for k in range(1, fan)
     ]
     gidx = _global_iota(chunk_len, idx)
-    out = sharded_sort((rank, *shifts, gidx), _AXIS, num_keys=fan + 1)
+    # head-slot primary key → the interval-routed sort replaces the
+    # merge-split network's S(P) full-chunk exchanges with ONE
+    # all_to_all + one boundary ppermute (merge-split fallback on
+    # adversarial rank skew) — the round-5 wire cut that moves the
+    # P=8 comm projection from ~59% to ~75% (parallel/comm_model.py)
+    out = rank_interval_sort((rank, *shifts, gidx), _AXIS,
+                             num_keys=fan + 1)
     keys_s, sa_s = out[:fan], out[-1]
     prev = shift_in_from_prev(
         jnp.stack([ks[-1] for ks in keys_s]), _AXIS, -2
@@ -240,8 +272,7 @@ def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
     eq_prev = jnp.ones((chunk_len,), bool)
     for i, ks in enumerate(keys_s):
         eq_prev = eq_prev & (ks == jnp.concatenate([prev[i : i + 1], ks[:-1]]))
-    rank_s = _dense_ranks_from_sorted(eq_prev, idx)
-    done = _gmax(jnp.max(rank_s)) == n_pad - 1
+    rank_s, done = _headslot_ranks_from_sorted(eq_prev, idx)
     # redistribute ranks to text order: sa_s is a permutation — one
     # all_to_all instead of a full merge-split sort (see distsort)
     (rank,) = redistribute_permutation(sa_s, (rank_s,), _AXIS)

@@ -116,17 +116,23 @@ def test_comm_model_matches_build():
     rep = g.comm_report()
     assert rep.rounds == g.rounds_run
     assert rep.p == 4 and rep.chunk_elems == g.chunk_len
-    # volume arithmetic: stages(4) = 3; one (fan+1)-op sort + one 2-op
-    # redistribute + (fan-1) shift ppermutes (<=2 chunk hops each)
+    # volume arithmetic: one interval-routed (fan+1)-op round sort
+    # (P=4 > 2 takes the a2a route) + one 2-op redistribute + (fan-1)
+    # shift ppermutes of ONE chunk hop each in the typical h < L round
     s = merge_split_stages(4)
     assert s == 3
+    from stringsearch_tpu.parallel.comm_model import (
+        rank_interval_sort_bytes_per_device,
+    )
+
     per_round = (
-        2 * (g.fan - 1) * g.chunk_len * 4
-        + sharded_sort_bytes_per_device(4, g.chunk_len, g.fan + 1)
+        (g.fan - 1) * g.chunk_len * 4
+        + rank_interval_sort_bytes_per_device(4, g.chunk_len, g.fan + 1)
         + redistribute_bytes_per_device(4, g.chunk_len, 1)
     )
     assert rep.per_round_bytes == per_round
-    assert rep.total_bytes == rep.initial_bytes + rep.rounds * per_round
+    # total = init + rounds * per_round + saturated-round extra hops
+    assert rep.total_bytes >= rep.initial_bytes + rep.rounds * per_round
     # schedule-bound default must not underestimate the actual rounds
     bound = global_build_comm(g.n, 4, depth=g.depth, fan=g.fan)
     assert bound.rounds >= rep.rounds
