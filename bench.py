@@ -150,6 +150,37 @@ def main() -> None:
                 "doubling_bytes_per_s": round(small / dts, 1),
                 "wall_s": round(dts, 4), **stamp}
             _log(f"doubling @ {small}: {dts:.3f}s -> {small/dts/1e6:.1f} MB/s")
+    # third-party-competitor column (the reference bench races saca-k,
+    # ref: crates/divsuftest/src/main.rs:162-164): the host C++ SA-IS
+    # oracle at <= 16 MB, and the oracle-vs-flagship speed ratio
+    if not os.environ.get("BENCH_FAST"):
+        try:
+            from stringsearch_tpu import oracle
+
+            osz = min(size, 1 << 24)
+            ohost = text_host[:osz].tobytes()
+            oracle.build(ohost[:4096])  # warm the .so load
+            t0 = time.perf_counter()
+            oracle.build(ohost)
+            dto = time.perf_counter() - t0
+            tpu_bps = detail["sizes"].get(str(osz), {}).get(
+                "doubling_bytes_per_s", bps)
+            detail["oracle_vs_flagship"] = {
+                "size": osz,
+                "oracle_bytes_per_s": round(osz / dto, 1),
+                "oracle_wall_s": round(dto, 4),
+                "flagship_bytes_per_s": tpu_bps,
+                "flagship_speedup": round(tpu_bps / (osz / dto), 3),
+                "note": ("host C++ SA-IS (single core) vs the TPU "
+                         "doubling engine at the same bytes — the "
+                         "repo's analog of the reference racing "
+                         "saca-k"), **stamp}
+            _log(f"oracle @ {osz}: {dto:.3f}s -> {osz/dto/1e6:.1f} MB/s "
+                 f"(flagship x{tpu_bps / (osz / dto):.2f})")
+        except Exception as e:
+            detail["oracle_vs_flagship"] = {"error": repr(e)[:200]}
+            _log(f"oracle bench failed: {e!r}")
+
     # the dc3 second engine: opt-in via BENCH_DC3 — its host-driven
     # recursion compiles one program per level and the remote-compile
     # tunnel takes minutes per shape, which would risk the driver's

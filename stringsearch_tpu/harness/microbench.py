@@ -479,6 +479,85 @@ def radix_probe(log_n: int, reps: int = 3) -> dict:
     return out
 
 
+def walk_probe(log_n: int, reps: int = 3) -> dict:
+    """Blocked-cycle-walk feasibility probe for the inverse BWT.
+
+    The shipped unbwt is pointer jumping: ceil(log2 n) rounds of one
+    full-width [m, 2] row gather (~145 ms each at 2^24 — the measured
+    design bound, transforms/bwt.py). The alternative is B lockstep
+    walkers doing n/B-ish TINY (B-index) gathers inside ONE jitted
+    fori_loop: phase 1 walks marker-to-marker to stitch orbit offsets,
+    phase 2 re-walks emitting bytes with a B-index scatter per step.
+    Whether that wins is decided ENTIRELY by the per-step cost of a
+    B-index gather (+ scatter) inside a compiled loop — measured here.
+
+    Reports per-step microseconds and the extrapolated two-phase unbwt
+    estimate at max interval ~ (n/B)(ln B + 2) lockstep steps (random
+    marker spacing on the cycle), next to the pointer-jumping cost.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << log_n
+    perm = jax.random.permutation(jax.random.PRNGKey(0), n).astype(
+        jnp.int32)
+    steps = 2048
+    out = {"n": n, "steps_measured": steps}
+
+    results = {}
+    for b in (1024, 4096, 16384):
+        start = jax.random.randint(jax.random.PRNGKey(b), (b,), 0, n,
+                                   dtype=jnp.int32)
+
+        @partial(jax.jit, static_argnames=())
+        def walk_g(perm, start):
+            def body(_, cur):
+                return jnp.take(perm, cur)
+
+            return jax.lax.fori_loop(0, steps, body, start)
+
+        @partial(jax.jit, static_argnames=())
+        def walk_gs(perm, start):
+            acc = jnp.zeros((n,), jnp.int32)
+
+            def body(t, st):
+                cur, acc = st
+                nxt = jnp.take(perm, cur)
+                acc = acc.at[cur].set(t, mode="drop")
+                return nxt, acc
+
+            return jax.lax.fori_loop(0, steps, body, (start, acc))
+
+        t_g = _timeit(walk_g, perm, start, reps=reps)
+        t_gs = _timeit(walk_gs, perm, start, reps=reps)
+        per_g = t_g / steps * 1e6
+        per_gs = t_gs / steps * 1e6
+        # two-phase estimate: lockstep to the expected MAX inter-marker
+        # interval (n/b)(ln b + 2); phase 1 gather-only, phase 2
+        # gather+scatter
+        maxlen = (n / b) * (math.log(b) + 2)
+        est = maxlen * (per_g + per_gs) / 1e6
+        results[b] = {
+            "us_per_step_gather": round(per_g, 2),
+            "us_per_step_gather_scatter": round(per_gs, 2),
+            "est_two_phase_s": round(est, 3),
+        }
+    out["walkers"] = results
+
+    # the incumbent's cost at this size, for the same table
+    from stringsearch_tpu.transforms.bwt import _unbwt_kernel
+
+    u = jax.random.randint(jax.random.PRNGKey(9), (n,), 0, 256,
+                           dtype=jnp.int32).astype(jnp.uint8)
+    rounds = max(1, int(n).bit_length())
+    out["t_pointer_jumping"] = round(_timeit(
+        lambda a: _unbwt_kernel(a, jnp.int32(0), rounds), u,
+        reps=reps), 4)
+    return out
+
+
 def config_sweep(log_n: int, reps: int = 2, configs=None) -> dict:
     """End-to-end fused build wall time across configurations.
 
@@ -525,7 +604,7 @@ def main() -> None:
     p = argparse.ArgumentParser(prog="microbench")
     p.add_argument("mode", choices=["ops", "phases", "tiedcurve",
                                     "extract", "bucketed", "sweep",
-                                    "radix"])
+                                    "radix", "walk"])
     p.add_argument("--n", type=int, default=24, help="log2 of element count")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--depth", type=int, default=None,
@@ -560,6 +639,8 @@ def main() -> None:
         print(json.dumps(bucketed_initial(args.n, args.reps)))
     elif args.mode == "radix":
         print(json.dumps(radix_probe(args.n, args.reps)))
+    elif args.mode == "walk":
+        print(json.dumps(walk_probe(args.n, args.reps)))
     elif args.mode == "sweep":
         cfgs = None
         if args.configs:
