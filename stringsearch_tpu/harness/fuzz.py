@@ -209,9 +209,11 @@ def _check_global(data: bytes, mesh, idx64: bool = False) -> str | None:
     rng = _input_rng(data + b"/cfg")
     depth = int(rng.choice([4, 8, 16]))
     fan = int(rng.choice([2, 3, 4]))
+    compaction = bool(rng.integers(0, 2))
     idx = jnp.int64 if idx64 else jnp.int32
     want = oracle.build(data)
-    g = build_global(data, mesh, idx=idx, depth=depth, fan=fan)
+    g = build_global(data, mesh, idx=idx, depth=depth, fan=fan,
+                     compaction=compaction)
     got = np.asarray(g.suffix_array())
     if not np.array_equal(got, want):
         return f"global SA mismatch vs oracle (depth={depth} fan={fan})"

@@ -107,6 +107,35 @@ def rank_interval_sort_bytes_per_device(p: int, chunk_elems: int,
     return (cap * p + cap) * n_ops * width
 
 
+def compact_round_bytes_per_device(p: int, chunk_elems: int,
+                                   fan: int = 3, width: int = 4,
+                                   compact_div: int = 4) -> int:
+    """Bytes sent per device by one COMPACTED round (global_sa.py
+    `_compact_round`) — the adversarial-input path whose ICI volume is
+    bounded by the live tied population, not n_pad.
+
+    Inventory (M = L // compact_div, cap = 2*ceil(2M/P)):
+      * straddle-repair ppermute: (M + 1) elements x 2 operands
+      * shifted-key capped gathers: (fan-1) x 2 all_to_alls of [P, cap]
+      * SA/sorted-rank spill ppermute: 3 x [2M]
+      * text-order rank write-back: 2 all_to_alls of [P, cap]
+    At P = 8, fan = 3, compact_div = 4 this is ~4.4L bytes vs the full
+    interval round's ~15L element-equivalents — and it shrinks linearly
+    with the tied population via compact_div. Not part of the default
+    build report: on enwik-class text the compacted phase never
+    triggers (tied@48B = 0); it exists for the long-run / tiny-alphabet
+    regime (trsort's skip-run compression re-expressed,
+    ref: crates/divsufsort/src/trsort.rs:1363-1410).
+    """
+    m = max(chunk_elems // compact_div, 1)
+    cap = 2 * (-(-2 * m // p))
+    straddle = 2 * m * width
+    gathers = (fan - 1) * 2 * p * cap * width
+    spill = 3 * 2 * m * width
+    writeback = 2 * p * cap * width
+    return straddle + gathers + spill + writeback
+
+
 def redistribute_bytes_per_device(p: int, chunk_elems: int,
                                   n_payloads: int = 1, width: int = 4,
                                   cap_factor: int = 2) -> int:

@@ -75,6 +75,51 @@ def sharded_gather(values: jnp.ndarray, idx: jnp.ndarray, axis_name: str):
     return jnp.zeros((m,), values.dtype).at[src_s].set(got_sorted, mode="drop")
 
 
+def sharded_gather_capped(values: jnp.ndarray, idx: jnp.ndarray,
+                          axis_name: str, cap: int):
+    """`sharded_gather` with a BALANCED per-owner request capacity.
+
+    The full-capacity gather sizes its send buffer [P, m] so no request
+    distribution can overflow — safe, but its all_to_all moves P*m
+    elements per device even when requests are spread evenly. This
+    variant uses [P, cap] buffers (cap ~ 2*ceil(m/P) for near-uniform
+    request distributions — the distributed compaction's regime) and
+    returns (out, overflow): when ANY shard's requests concentrate more
+    than `cap` onto one owner, the replicated `overflow` flag is True
+    and `out` is garbage — callers must branch to a fallback (the
+    compacted round falls back to a full-width round). Wire: 2*P*cap
+    elements per device instead of 2*P*m.
+    """
+    p = jax.lax.axis_size(axis_name)
+    length = values.shape[0]
+    m = idx.shape[0]
+    idx = jnp.clip(idx, 0, p * length - 1)
+    owner = (idx // length).astype(jnp.int32)
+    off = (idx % length).astype(jnp.int32)
+    owner_s, off_s, src_s = jax.lax.sort(
+        (owner, off, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    i = jnp.arange(m, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(owner_s, owner_s, side="left").astype(
+        jnp.int32)
+    rank = i - seg_start
+    overflow = jax.lax.psum(
+        jnp.any(rank >= cap).astype(jnp.int32), axis_name) > 0
+    send = jnp.zeros((p, cap), jnp.int32)
+    send = send.at[owner_s, jnp.minimum(rank, cap - 1)].set(
+        off_s, mode="drop")
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    answers = jnp.take(values, recv.reshape(-1), mode="clip").reshape(
+        p, cap)
+    back = jax.lax.all_to_all(answers, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    got_sorted = back[owner_s, jnp.minimum(rank, cap - 1)]
+    out = jnp.zeros((m,), values.dtype).at[src_s].set(
+        got_sorted, mode="drop")
+    return out, overflow
+
+
 def sharded_gather_windows(values: jnp.ndarray, starts: jnp.ndarray,
                            width: int, axis_name: str):
     """Fetch [B, width] windows values[start:start+width] from a sharded

@@ -151,10 +151,16 @@ def _headslot_ranks_from_sorted(eq_prev: jnp.ndarray, idx):
     mask = jnp.arange(p, dtype=jnp.int32) < me
     carry = jnp.max(jnp.where(mask, lasts, jnp.asarray(-1, idx)))
     rank = jnp.where(head_local >= 0, head_local, carry)
-    tied = jax.lax.psum(
-        jnp.sum((rank != gslot).astype(jnp.int32)), _AXIS
-    )
-    return rank, tied == 0
+    # tied SLOT count: a slot is tied iff it is not its own head OR the
+    # next slot shares its head (group size >= 2) — the count the host
+    # uses to enter the compacted phase, and 0 ⟺ resolved
+    perm = [(i, (i - 1) % p) for i in range(p)]
+    nf = jax.lax.ppermute(rank[:1], _AXIS, perm)
+    nf = jnp.where(me == p - 1, jnp.full_like(nf, -1), nf)
+    rank_next = jnp.concatenate([rank[1:], nf])
+    tied = (rank != gslot) | (rank_next == rank)
+    count = jax.lax.psum(jnp.sum(tied.astype(jnp.int32)), _AXIS)
+    return rank, count
 
 
 def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
@@ -199,12 +205,12 @@ def _initial_shard_ranks(depth: int, idx, chunk: jnp.ndarray):
     eq_prev = eq_prev & ~(
         (me == 0) & (jnp.arange(length) == 0)
     )
-    rank_s, done = _headslot_ranks_from_sorted(eq_prev, idx)
+    rank_s, count = _headslot_ranks_from_sorted(eq_prev, idx)
     # back to text order: gidx_s is a permutation, so this is one
     # all_to_all (merge-split fallback on adversarial skew) instead of a
     # full distributed sort — ~3x less redistribute wire volume at P=8
     (rank,) = redistribute_permutation(gidx_s, (rank_s,), _AXIS)
-    return rank, gidx_s, done
+    return rank, gidx_s, rank_s, count
 
 
 def _shifted_ranks(rank: jnp.ndarray, h: int, total_shards: int, idx):
@@ -272,28 +278,218 @@ def _doubling_step(chunk_len: int, total_shards: int, idx, h: int, rank,
     eq_prev = jnp.ones((chunk_len,), bool)
     for i, ks in enumerate(keys_s):
         eq_prev = eq_prev & (ks == jnp.concatenate([prev[i : i + 1], ks[:-1]]))
-    rank_s, done = _headslot_ranks_from_sorted(eq_prev, idx)
+    rank_s, count = _headslot_ranks_from_sorted(eq_prev, idx)
     # redistribute ranks to text order: sa_s is a permutation — one
     # all_to_all instead of a full merge-split sort (see distsort)
     (rank,) = redistribute_permutation(sa_s, (rank_s,), _AXIS)
-    return rank, sa_s, done
+    return rank, sa_s, rank_s, count
 
 
 def _rounds_block(chunk_len: int, total_shards: int, idx, hs: tuple,
-                  fan: int, rank, sa, done):
+                  fan: int, rank, sa, rank_s, count):
     """ROUNDS_PER_DISPATCH cond-guarded rounds in one traced program.
 
-    Every round's `done` is replicated (a pmax result), so all devices
+    Every round's `count` is replicated (a psum result), so all devices
     take the same branch and the collectives inside the live branch stay
-    deadlock-free; once done flips, the remaining rounds are skipped.
+    deadlock-free; once the count hits zero, the remaining rounds are
+    skipped.
     """
-    state = (rank, sa, done)
+    state = (rank, sa, rank_s, count)
     for h in hs:
         def run(st, h=h):
-            rank, _sa, _done = st
+            rank, _sa, _rank_s, _count = st
             return _doubling_step(chunk_len, total_shards, idx, h, rank, fan)
 
-        state = jax.lax.cond(state[2], lambda st: st, run, state)
+        state = jax.lax.cond(state[3] == 0, lambda st: st, run, state)
+    return state
+
+
+#: per-shard compacted capacity divisor: M = chunk // _COMPACT_DIV
+_COMPACT_DIV = 4
+#: enter the compacted phase when the global tied count <= n_pad / this
+_COMPACT_ENTRY = 8
+
+
+def _compact_round(chunk_len: int, total_shards: int, idx, fan: int,
+                   m_cap: int, h: int, rank, sa, rank_s):
+    """One COMPACTED distributed round — refine only the tied slots.
+
+    The distributed analog of the single-chip compaction cascade
+    (engines/doubling.py `_compact_round`; the role of trsort's
+    skip-run compression, ref: crates/divsufsort/src/trsort.rs:1363-1410):
+    instead of sorting all n_pad lanes over ICI every round, each shard
+    extracts the tied slots RESIDENT in its slice of the sorted order
+    (<= m_cap of them), reunites boundary-straddling groups on their
+    head's shard with one neighbor ppermute, and refines them with
+    LOCAL sorts — the only full-width ICI traffic left is the
+    shifted-key gather and the text-order rank write-back, both
+    balanced all_to_alls at 2*ceil(2M/P) per-pair capacity. Per-round
+    wire is thereby bounded by the LIVE TIED POPULATION, not n_pad.
+
+    Locality invariants (why the sorts and head arithmetic are local):
+      * no-extraction-overflow ⇒ every tied group spans <= 2 shards (a
+        3-shard span contains a whole middle shard: L > m_cap tied
+        slots there);
+      * after the straddle ppermute, every working entry's group head
+        slot g lies in THIS shard's interval, so group members are
+        co-resident and `slot = g + offset` arithmetic needs no
+        cross-shard carries;
+      * slots of refined entries exceed the shard's range by < 2M <= L,
+        so SA / sorted-rank write-backs spill to the NEXT shard only
+        (one ppermute).
+
+    Every capacity violation (extraction > M, gather or write-back
+    skew > cap) raises a replicated flag and the round falls back to
+    the always-correct full-width `_doubling_step` — adversarial
+    inputs lose the optimization, never correctness.
+
+    Returns (rank, sa, rank_s, count).
+    """
+    p = total_shards
+    me = jax.lax.axis_index(_AXIS)
+    length = chunk_len
+    n_pad = length * p
+    big = jnp.asarray(np.iinfo(np.dtype(idx)).max, idx)
+    n_pad_i = jnp.asarray(n_pad, idx)
+    gslot = _global_iota(length, idx)
+    perm_from_next = [(i, (i - 1) % p) for i in range(p)]
+    perm_to_next = [(i, (i + 1) % p) for i in range(p)]
+
+    # 1. tied flags in sorted order (local + one boundary ppermute)
+    nf = jax.lax.ppermute(rank_s[:1], _AXIS, perm_from_next)
+    nf = jnp.where(me == p - 1, jnp.full_like(nf, -1), nf)
+    rank_s_next = jnp.concatenate([rank_s[1:], nf])
+    tied = (rank_s != gslot) | (rank_s_next == rank_s)
+
+    # 2. local extraction at capacity M (sorted by group id g = rank_s)
+    key = jnp.where(tied, rank_s, big)
+    key_srt, pos_srt = jax.lax.sort((key, sa), num_keys=1)
+    over_local = (m_cap < length) & (key_srt[min(m_cap, length - 1)]
+                                     != big)
+    over_extract = jax.lax.psum(
+        over_local.astype(jnp.int32), _AXIS) > 0  # replicated
+    g0 = key_srt[:m_cap]
+    pos0 = pos_srt[:m_cap]
+
+    # 3. straddle repair: entries whose group head lives on the
+    # PREVIOUS shard (g < me*L — a prefix of the g-sorted extraction)
+    # ship there whole, so groups become shard-resident
+    pre = g0 < me * jnp.asarray(length, idx)
+    cnt_pre = jnp.sum(pre.astype(jnp.int32))
+    g_in = jax.lax.ppermute(g0, _AXIS, perm_from_next)
+    pos_in = jax.lax.ppermute(pos0, _AXIS, perm_from_next)
+    cnt_in = jax.lax.ppermute(cnt_pre, _AXIS, perm_from_next)
+    cnt_in = jnp.where(me == p - 1, 0, cnt_in)
+    jm = jnp.arange(m_cap, dtype=jnp.int32)
+    rv = jm < cnt_in
+    g_recv = jnp.where(rv, g_in, big)
+    pos_recv = jnp.where(rv, pos_in, n_pad_i)
+    gw = jnp.concatenate([jnp.where(pre, big, g0), g_recv])
+    pw = jnp.concatenate([jnp.where(pre, n_pad_i, pos0), pos_recv])
+
+    # 4. shifted keys: balanced capped gather on the sharded text-order
+    # rank (markers for windows past the end, as everywhere)
+    from stringsearch_tpu.parallel.gather import sharded_gather_capped
+
+    cap = 2 * (-(-2 * m_cap // p))
+    over = over_extract
+    shifts = []
+    for k in range(1, fan):
+        s_k = min(h, n_pad // k + 1) * k  # static, like _doubling_step
+        past = pw >= n_pad_i - jnp.asarray(s_k, idx)
+        req = jnp.where(past, 0, pw + jnp.asarray(s_k, idx))
+        val, ov = sharded_gather_capped(rank, req.astype(jnp.int32),
+                                        _AXIS, cap)
+        shifts.append(jnp.where(past, -(pw + 1), val.astype(idx)))
+        over = over | ov
+
+    # 5. LOCAL refinement sort over the [2M] working set
+    out = jax.lax.sort((gw, *shifts, pw), num_keys=fan + 1)
+    g_s2, pos_s2 = out[0], out[-1]
+    j2 = jnp.arange(2 * m_cap, dtype=idx)
+    group_f = jnp.concatenate(
+        [jnp.ones((1,), bool), g_s2[1:] != g_s2[:-1]])
+    kdiff = jnp.zeros((2 * m_cap - 1,), bool)
+    for ks in out[1:-1]:
+        kdiff = kdiff | (ks[1:] != ks[:-1])
+    run_f = group_f | jnp.concatenate([jnp.ones((1,), bool), kdiff])
+    ghead = jax.lax.cummax(jnp.where(group_f, j2, jnp.asarray(-1, idx)))
+    rhead = jax.lax.cummax(jnp.where(run_f, j2, jnp.asarray(-1, idx)))
+    valid = g_s2 != big
+    slot = jnp.where(valid, g_s2 + (j2 - ghead), n_pad_i)
+    new_g = jnp.where(valid, g_s2 + (rhead - ghead), big)
+    nxt_rhead = jnp.concatenate([rhead[1:], jnp.full((1,), -1, idx)])
+    tied2 = valid & ((rhead != j2) | (nxt_rhead == rhead))
+    count = jax.lax.psum(jnp.sum(tied2.astype(jnp.int32)), _AXIS)
+
+    # 7a. SA + sorted-rank write-back by slot: local scatter + one
+    # next-neighbor ppermute for the spill (slot < (me+1)L + 2M <=
+    # (me+2)L, so the spill never reaches further)
+    base = me.astype(idx) * jnp.asarray(length, idx)
+    loc = slot - base
+    in_loc = valid & (loc >= 0) & (loc < length)
+    drop_i = jnp.where(in_loc, loc, length)
+    sa_new = sa.at[drop_i].set(pos_s2, mode="drop")
+    rank_s_new = rank_s.at[drop_i].set(new_g, mode="drop")
+    sp_slot = jnp.where(valid & (loc >= length), slot, n_pad_i)
+    sp1 = jax.lax.ppermute(sp_slot, _AXIS, perm_to_next)
+    sp2 = jax.lax.ppermute(pos_s2, _AXIS, perm_to_next)
+    sp3 = jax.lax.ppermute(new_g, _AXIS, perm_to_next)
+    sp1 = jnp.where(me == 0, n_pad_i, sp1)  # shard 0 receives nothing
+    loc2 = sp1 - base
+    in2 = (loc2 >= 0) & (loc2 < length)
+    drop2 = jnp.where(in2, loc2, length)
+    sa_new = sa_new.at[drop2].set(sp2, mode="drop")
+    rank_s_new = rank_s_new.at[drop2].set(sp3, mode="drop")
+
+    # 7b. text-order rank write-back: balanced all_to_all scatter
+    dest = jnp.where(valid, (pos_s2 // length).astype(jnp.int32), p)
+    d_s, po_s, ng_s = jax.lax.sort(
+        (dest, pos_s2, new_g), num_keys=1)
+    i2 = jnp.arange(2 * m_cap, dtype=jnp.int32)
+    seg = jnp.searchsorted(d_s, d_s, side="left").astype(jnp.int32)
+    rnk = i2 - seg
+    over = over | (jax.lax.psum(
+        jnp.any((d_s < p) & (rnk >= cap)).astype(jnp.int32), _AXIS) > 0)
+    d_safe = jnp.where(d_s < p, d_s, 0)
+    use = (d_s < p) & (rnk < cap)
+    send_po = jnp.full((p, cap), n_pad_i, idx)
+    send_po = send_po.at[
+        jnp.where(use, d_safe, p), jnp.minimum(rnk, cap - 1)
+    ].set(po_s, mode="drop")
+    send_ng = jnp.zeros((p, cap), idx)
+    send_ng = send_ng.at[
+        jnp.where(use, d_safe, p), jnp.minimum(rnk, cap - 1)
+    ].set(ng_s, mode="drop")
+    recv_po = jax.lax.all_to_all(send_po, _AXIS, split_axis=0,
+                                 concat_axis=0, tiled=True).reshape(-1)
+    recv_ng = jax.lax.all_to_all(send_ng, _AXIS, split_axis=0,
+                                 concat_axis=0, tiled=True).reshape(-1)
+    locp = recv_po - base
+    inp = (locp >= 0) & (locp < length)
+    rank_new = rank.at[jnp.where(inp, locp, length)].set(
+        recv_ng, mode="drop")
+
+    def fallback(_):
+        return _doubling_step(chunk_len, total_shards, idx, h, rank, fan)
+
+    def fast(_):
+        return rank_new, sa_new, rank_s_new, count
+
+    return jax.lax.cond(over, fallback, fast, None)
+
+
+def _compact_block(chunk_len: int, total_shards: int, idx, fan: int,
+                   m_cap: int, hs: tuple, rank, sa, rank_s, count):
+    """ROUNDS_PER_DISPATCH cond-guarded COMPACTED rounds per dispatch."""
+    state = (rank, sa, rank_s, count)
+    for h in hs:
+        def run(st, h=h):
+            rank, sa, rank_s, _count = st
+            return _compact_round(chunk_len, total_shards, idx, fan,
+                                  m_cap, h, rank, sa, rank_s)
+
+        state = jax.lax.cond(state[3] == 0, lambda st: st, run, state)
     return state
 
 
@@ -304,7 +500,7 @@ def _jit_init(mesh: Mesh, depth: int, idx):
             partial(_initial_shard_ranks, depth, idx),
             mesh=mesh,
             in_specs=P(_AXIS),
-            out_specs=(P(_AXIS), P(_AXIS), P()),
+            out_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P()),
             check_vma=False,
         )
     )
@@ -319,8 +515,22 @@ def _jit_block(mesh: Mesh, chunk: int, p: int, idx, hs: tuple, fan: int):
         jax.shard_map(
             partial(_rounds_block, chunk, p, idx, hs, fan),
             mesh=mesh,
-            in_specs=(P(_AXIS), P(_AXIS), P()),
-            out_specs=(P(_AXIS), P(_AXIS), P()),
+            in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P()),
+            out_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P()),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_compact_block(mesh: Mesh, chunk: int, p: int, idx, fan: int,
+                       m_cap: int, hs: tuple):
+    return jax.jit(
+        jax.shard_map(
+            partial(_compact_block, chunk, p, idx, fan, m_cap, hs),
+            mesh=mesh,
+            in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P()),
+            out_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P()),
             check_vma=False,
         )
     )
@@ -529,7 +739,8 @@ class GlobalSuffixArray:
     """
 
     def __init__(self, text: BytesLike, mesh: Mesh, idx=_I32,
-                 depth: int = INITIAL_DEPTH, fan: int = 3, tracer=None):
+                 depth: int = INITIAL_DEPTH, fan: int = 3, tracer=None,
+                 compaction: bool = True):
         self._tracer = tracer
         if _AXIS not in mesh.shape:
             raise ValueError(f'mesh must have a "{_AXIS}" axis')
@@ -540,6 +751,7 @@ class GlobalSuffixArray:
         self.mesh = mesh
         self.idx = idx
         self.fan = fan
+        self.compaction = compaction
         arr = as_text_array(text)
         self.n = int(arr.shape[0])
         p = mesh.shape[_AXIS]
@@ -562,10 +774,13 @@ class GlobalSuffixArray:
     def _build(self) -> None:
         mesh, chunk, p, idx = self.mesh, self.chunk_len, self.num_shards, self.idx
         n_pad = chunk * p
+        m_cap = max(chunk // _COMPACT_DIV, 1)
 
-        rank, sa, done = _jit_init(mesh, self.depth, idx)(self.text_padded)
+        rank, sa, rank_s, count = _jit_init(mesh, self.depth, idx)(
+            self.text_padded)
         h = self.depth
         self.rounds_run = 0
+        self.compact_rounds_run = 0
         if self._tracer is not None:
             self._tracer.log(
                 f"global engine n={self.n} shards={p} chunk={chunk} "
@@ -574,20 +789,37 @@ class GlobalSuffixArray:
             self._tracer.dump(f"rank h={self.depth}", np.asarray(rank))
         # h saturates at n_pad, where the marker round resolves every
         # remaining tie (raw-byte conflation means a count-based early
-        # exit is unsound; the saturated round is the guaranteed finisher)
-        while not bool(done):
+        # exit is unsound; the saturated round is the guaranteed
+        # finisher). Once the tied population fits the compacted
+        # capacity with headroom, rounds switch to the compacted path
+        # whose ICI volume tracks the live population (adversarial
+        # inputs: long runs / tiny alphabets); every compacted round
+        # self-falls-back to a full-width round on capacity overflow.
+        while bool(count):
             hs = []
             for _ in range(ROUNDS_PER_DISPATCH):
                 hs.append(h)
                 h = min(self.fan * h, n_pad)
-            rank, sa, done = _jit_block(
-                mesh, chunk, p, idx, tuple(hs), self.fan
-            )(rank, sa, done)
+            compact = (
+                self.compaction
+                and p >= 2
+                and int(count) <= n_pad // _COMPACT_ENTRY
+                and int(count) <= p * m_cap
+            )
+            if compact:
+                rank, sa, rank_s, count = _jit_compact_block(
+                    mesh, chunk, p, idx, self.fan, m_cap, tuple(hs)
+                )(rank, sa, rank_s, count)
+                self.compact_rounds_run += len(hs)
+            else:
+                rank, sa, rank_s, count = _jit_block(
+                    mesh, chunk, p, idx, tuple(hs), self.fan
+                )(rank, sa, rank_s, count)
             self.rounds_run += len(hs)
             if self._tracer is not None:
                 self._tracer.log(
                     f"block rounds={self.rounds_run} h->{h} "
-                    f"done={bool(done)}"
+                    f"compact={compact} tied={int(count)}"
                 )
                 self._tracer.dump(f"rank after {self.rounds_run} rounds",
                                   np.asarray(rank))
@@ -769,10 +1001,12 @@ class GlobalSuffixArray:
 
 def build_global(text: BytesLike, mesh: Mesh, idx=_I32,
                  depth: int = INITIAL_DEPTH, fan: int = 3,
-                 tracer=None) -> GlobalSuffixArray:
+                 tracer=None, compaction: bool = True) -> GlobalSuffixArray:
     """Build the exact global SA of `text` sharded over `mesh`'s "parts".
 
     Pass a `harness.tracing.Tracer` to dump the sharded rank state per
-    round block (the distributed analog of the engines' `--trace`)."""
+    round block (the distributed analog of the engines' `--trace`).
+    `compaction=False` pins the full-width round path (differential
+    testing of the compacted rounds)."""
     return GlobalSuffixArray(text, mesh, idx=idx, depth=depth, fan=fan,
-                             tracer=tracer)
+                             tracer=tracer, compaction=compaction)

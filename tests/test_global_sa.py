@@ -252,3 +252,37 @@ def test_global_simplesearch(mesh8):
         assert count == wc, (c, count, wc)
         if count:
             assert left == wl
+
+
+def test_global_distributed_compaction(mesh8):
+    """Adversarial inputs (tiny alphabets, repeats) must route through
+    the COMPACTED rounds (per-round ICI bounded by the live tied
+    population) and still produce THE suffix array; compaction=False
+    pins the full-width path for differential comparison."""
+    rng = np.random.default_rng(11)
+    cases = [
+        bytes(rng.integers(0, 2, 700, dtype=np.uint8)),
+        (b"xyxz" * 200)[:777],
+        bytes(rng.integers(0, 256, 900, dtype=np.uint8)),
+    ]
+    compacted_somewhere = False
+    for text in cases:
+        g = build_global(text, mesh8, depth=8, fan=3)
+        want = naive_suffix_array(text)
+        np.testing.assert_array_equal(g.suffix_array(), want)
+        g.verify()
+        g2 = build_global(text, mesh8, depth=8, fan=3, compaction=False)
+        np.testing.assert_array_equal(g2.suffix_array(), want)
+        compacted_somewhere |= g.compact_rounds_run > 0
+    assert compacted_somewhere, "no case exercised the compacted rounds"
+
+
+def test_global_compaction_giant_group_falls_back(mesh8):
+    """A single giant tie group (all-equal text) must overflow every
+    compacted capacity and fall back to full-width rounds — correctness
+    over optimization."""
+    text = bytes([9]) * 513
+    g = build_global(text, mesh8, depth=4, fan=2)
+    np.testing.assert_array_equal(g.suffix_array(),
+                                  naive_suffix_array(text))
+    g.verify()
