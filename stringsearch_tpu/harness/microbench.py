@@ -393,9 +393,7 @@ def radix_probe(log_n: int, reps: int = 3) -> dict:
 
     n = 1 << log_n
     key = jax.random.PRNGKey(0)
-    keys = jax.random.randint(
-        key, (n,), 0, 1 << 31, dtype=jnp.int32
-    ).astype(jnp.uint32) * 2 + (jnp.arange(n, dtype=jnp.uint32) & 1)
+    keys = jax.random.bits(key, (n,), dtype=jnp.uint32)
     pay = jnp.arange(n, dtype=jnp.int32)
     out = {"n": n}
 
@@ -406,10 +404,11 @@ def radix_probe(log_n: int, reps: int = 3) -> dict:
     # correctness gates on-device before timing (small slices)
     import numpy as np_
 
-    hk = np_.asarray(keys[: 4 * 8192])
-    hp = np_.asarray(pay[: 4 * 8192])
+    hk = np_.asarray(keys[: 8 * 8192])
+    hp = np_.asarray(pay[: 8 * 8192])
     ok_h = radix.check_histogram(hk, tile=8192)
-    ok_g = radix.check_local_group(hk[:4096], hp[:4096], tile=1024)
+    ok_g = radix.check_local_group(hk[: 8 * 1024], hp[: 8 * 1024],
+                                   tile=1024)
     ok_f = radix.check_granule_flush()
     out["checks"] = {"hist": ok_h, "group": ok_g, "flush": ok_f}
 
@@ -418,7 +417,7 @@ def radix_probe(log_n: int, reps: int = 3) -> dict:
         reps=reps), 4)
 
     group_t = {}
-    for tile in (512, 1024, 2048):
+    for tile in (1024, 2048):
         try:
             group_t[tile] = round(_timeit(
                 lambda k, p, t=tile: radix.local_group(k, p, tile=t),
@@ -427,12 +426,17 @@ def radix_probe(log_n: int, reps: int = 3) -> dict:
             group_t[tile] = f"error: {repr(e)[:120]}"
     out["t_group"] = group_t
 
+    # granule 128 = one lane row; >=1024 = 8-sublane slabs. Anything
+    # in between (and anything smaller) is not DMA-alignable on TPU at
+    # all — itself a probe finding (sub-512B scattered stores cannot
+    # even be expressed as aligned DMA units).
     flush_t = {}
-    for granule in (32, 128, 512, 2048):
+    for granule in (128, 1024, 4096):
         rows = n // granule
-        per_block = max(1, min(rows, (1 << 21) // (granule * 4)))
+        # descriptor DMA slices must align to the rank-1 i32 tiling
+        per_block = min(rows, 1 << 14)
         while rows % per_block:
-            per_block -= 1
+            per_block -= 1024
         rng = np_.random.default_rng(1)
         desc_rand = jnp.asarray(
             rng.permutation(rows).astype(np_.int32))

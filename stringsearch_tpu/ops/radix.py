@@ -69,49 +69,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 _I32 = jnp.int32
 
+# Mosaic requires the sublane (second-minor) block dimension to be a
+# multiple of 8, so every rowwise kernel below processes 8 blocks per
+# grid step.
+_ROWS = 8
+
 
 # ---------------------------------------------------------------------------
 # phase 1: per-block histograms
 # ---------------------------------------------------------------------------
 
 
-def _hist_kernel(keys_ref, out_ref, *, tile: int, chunk: int, shift: int):
-    """256-bin histogram of one [1, tile] block of uint32 keys.
+def _hist_kernel(keys_ref, out_ref, *, tile: int, chunk: int, shift: int,
+                 rows: int):
+    """256-bin histograms of `rows` [tile]-blocks of uint32 keys.
 
-    The tile is processed in [chunk, 256] one-hot slabs contracted on
-    the MXU; f32 accumulation is exact (counts <= tile < 2^24).
+    Each row is processed in [chunk, 256] one-hot slabs contracted on
+    the MXU; f32 accumulation is exact (counts <= tile < 2^24). The
+    kernel handles `rows` blocks per grid step because Mosaic requires
+    the sublane block dimension to be a multiple of 8.
     """
     bins = jax.lax.broadcasted_iota(jnp.int32, (chunk, 256), 1)
-    acc = jnp.zeros((1, 256), jnp.float32)
-    for c in range(tile // chunk):
-        k = keys_ref[0, pl.ds(c * chunk, chunk)]
-        b = ((k >> shift) & 0xFF).astype(jnp.int32)
-        onehot = (b[:, None] == bins).astype(jnp.float32)
-        acc = acc + jnp.dot(
-            jnp.ones((1, chunk), jnp.float32), onehot,
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0, :] = acc[0].astype(jnp.int32)
+    for r in range(rows):
+        acc = jnp.zeros((1, 256), jnp.float32)
+        for c in range(tile // chunk):
+            k = keys_ref[r, pl.ds(c * chunk, chunk)]
+            b = ((k >> shift) & 0xFF).astype(jnp.int32)
+            onehot = (b[:, None] == bins).astype(jnp.float32)
+            acc = acc + jnp.dot(
+                jnp.ones((1, chunk), jnp.float32), onehot,
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[r, :] = acc[0].astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("tile", "chunk", "shift"))
+@partial(jax.jit,
+         static_argnames=("tile", "chunk", "shift", "interpret"))
 def block_histograms(keys: jnp.ndarray, tile: int = 8192,
-                     chunk: int = 1024, shift: int = 24) -> jnp.ndarray:
+                     chunk: int = 1024, shift: int = 24,
+                     interpret: bool = False) -> jnp.ndarray:
     """[B, 256] per-block histograms of ((keys >> shift) & 0xFF)."""
     n = keys.shape[0]
-    if n % tile:
-        raise ValueError(f"n={n} must be a multiple of tile={tile}")
+    if n % (tile * _ROWS):
+        raise ValueError(f"n={n} must be a multiple of {tile * _ROWS}")
     nblocks = n // tile
     return pl.pallas_call(
-        partial(_hist_kernel, tile=tile, chunk=chunk, shift=shift),
+        partial(_hist_kernel, tile=tile, chunk=chunk, shift=shift,
+                rows=_ROWS),
         out_shape=jax.ShapeDtypeStruct((nblocks, 256), jnp.int32),
-        grid=(nblocks,),
+        grid=(nblocks // _ROWS,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda b: (b, 0),
+            pl.BlockSpec((_ROWS, tile), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, 256), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((_ROWS, 256), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(keys.reshape(nblocks, tile))
 
 
@@ -120,81 +133,145 @@ def block_histograms(keys: jnp.ndarray, tile: int = 8192,
 # ---------------------------------------------------------------------------
 
 
-def _group_kernel(keys_ref, pay_ref, gk_ref, gp_ref, lb_ref,
-                  *, tile: int, shift: int):
-    """Group one block's (key, payload) pairs by bin inside VMEM.
+def _dest_kernel(keys_ref, dest_ref, lb_ref, *, tile: int,
+                 shift: int, chunk: int):
+    """Within-tile destination ranks: dest[t] = local_base[bin t] +
+    rank-of-t-in-its-bin, plus the tile's local bin starts [256].
 
-    Emits the grouped pairs plus the tile's local bin starts [256]
-    (exclusive scan of the tile histogram). The reorder is one
-    permutation matmul on 16-bit planes (exact in f32).
+    MXU formulation (cumsum/gather/scatter have no Pallas TPU
+    lowering): the column cumsum of the [tile, 256] bin one-hot rides
+    the MXU HIERARCHICALLY — a [chunk, chunk] triangular matmul per
+    chunk plus a tiny cross-chunk carry (cost per element: chunk*256
+    MACs, not tile*256) — and dest is a masked row sum. The 0/1
+    triangle and one-hot operands are bf16 (exact: counts <= 256 fit
+    the 8-bit mantissa) with f32 accumulation.
     """
-    k = keys_ref[0, :]
-    p = pay_ref[0, :]
+    k = keys_ref[...].reshape(tile)
     b = ((k >> shift) & 0xFF).astype(jnp.int32)
     bins = jax.lax.broadcasted_iota(jnp.int32, (tile, 256), 1)
-    onehot = (b[:, None] == bins).astype(jnp.float32)
-    colcum = jnp.cumsum(onehot, axis=0)  # inclusive
-    hist = colcum[-1, :]
-    local_base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float32), jnp.cumsum(hist)[:-1]]
-    )
-    # dest[t] = local_base[bin t] + (rank of t within its bin) — masked
-    # row sums, no gather
-    dest = jnp.sum(onehot * (local_base[None, :] + colcum - 1.0), axis=1)
-    dest_i = dest.astype(jnp.int32)
+    onehot = (b[:, None] == bins).astype(jnp.bfloat16)
+    tri_c = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    ).astype(jnp.bfloat16)  # tri[i, j] = (j <= i): inclusive scan
+    carry = jnp.zeros((1, 256), jnp.float32)
+    rows = []
+    for c in range(tile // chunk):
+        oc = jax.lax.slice(onehot, (c * chunk, 0),
+                           ((c + 1) * chunk, 256))
+        cc = jnp.dot(tri_c, oc, preferred_element_type=jnp.float32)
+        rows.append(cc + carry)
+        carry = carry + jax.lax.slice(cc, (chunk - 1, 0), (chunk, 256))
+    colcum = jnp.concatenate(rows, axis=0)  # [tile, 256] inclusive
+    strict_lt = (
+        jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    ).astype(jnp.float32)
+    local_base = jnp.dot(carry, strict_lt,
+                         preferred_element_type=jnp.float32)  # [1, 256]
+    dest = jnp.sum(
+        onehot.astype(jnp.float32) * (local_base + colcum - 1.0), axis=1)
+    dest_ref[...] = dest.astype(jnp.int32).reshape(dest_ref.shape)
+    # [256] -> (1, 8, 32) is an unsupported shape cast; write the bin
+    # starts as an 8-row broadcast plane instead (row 0 is consumed)
+    lb_ref[...] = jnp.broadcast_to(
+        local_base.astype(jnp.int32), (8, 256)
+    ).reshape(lb_ref.shape)
+
+
+def _place_kernel(keys_ref, pay_ref, dest_ref, gk_ref, gp_ref,
+                  *, tile: int):
+    """Apply within-tile destination ranks: one [tile, tile]
+    permutation matmul over 8-bit planes (bf16-exact, values < 256).
+
+    Split from _dest_kernel because fusing the hierarchical-cumsum
+    pipeline with the permutation matmul in one Mosaic kernel sends
+    the compiler into a multi-minute layout search (measured: each
+    half compiles in < 9 s, the fusion did not return in 9 min). The
+    split costs one extra HBM round trip of the [n] i32 dest array.
+    """
+    k = keys_ref[...].reshape(tile)
+    p = pay_ref[...].reshape(tile)
+    dest_i = dest_ref[...].reshape(tile)
     slots = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    perm = (dest_i[None, :] == slots).astype(jnp.float32)  # [s, t]
+    perm = (dest_i[None, :] == slots).astype(jnp.bfloat16)  # [s, t]
+    pu = p.astype(jnp.uint32)
+    # 8-bit planes: exact in bf16; Mosaic has no u32<->f32 casts, so
+    # hop through i32 (values < 256). Stack in i32 and cast the 2D
+    # result: minor-dim insertion is only supported for 32-bit types.
     planes = jnp.stack(
-        [
-            (k >> 16).astype(jnp.float32),
-            (k & 0xFFFF).astype(jnp.float32),
-            (p.astype(jnp.uint32) >> 16).astype(jnp.float32),
-            (p.astype(jnp.uint32) & 0xFFFF).astype(jnp.float32),
-        ],
+        [((k >> s) & 0xFF).astype(jnp.int32) for s in (24, 16, 8, 0)]
+        + [((pu >> s) & 0xFF).astype(jnp.int32) for s in (24, 16, 8, 0)],
         axis=1,
-    )  # [t, 4]; every value < 2^16: exact in f32
+    ).astype(jnp.bfloat16)  # [t, 8]
     g = jnp.dot(perm, planes, preferred_element_type=jnp.float32)
-    gk = (g[:, 0].astype(jnp.uint32) << 16) | g[:, 1].astype(jnp.uint32)
-    gp = (g[:, 2].astype(jnp.uint32) << 16) | g[:, 3].astype(jnp.uint32)
-    gk_ref[0, :] = gk
-    gp_ref[0, :] = gp.astype(jnp.int32)
-    lb_ref[0, :] = local_base.astype(jnp.int32)
+    # column EXTRACTION via masked row sums, not lax.slice: Mosaic
+    # mis-lowers lane-offset slices of narrow arrays (measured: the
+    # offset-1 column reads back as zero), while masked reductions are
+    # exact
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, 8), 1)
+    pl8 = [
+        jnp.sum(jnp.where(col == c, g, 0.0), axis=1)
+        .astype(jnp.int32).astype(jnp.uint32)
+        for c in range(8)
+    ]
+    gk = (pl8[0] << 24) | (pl8[1] << 16) | (pl8[2] << 8) | pl8[3]
+    gp = (pl8[4] << 24) | (pl8[5] << 16) | (pl8[6] << 8) | pl8[7]
+    gk_ref[...] = gk.reshape(gk_ref.shape)
+    gp_ref[...] = gp.astype(jnp.int32).reshape(gp_ref.shape)
 
 
-@partial(jax.jit, static_argnames=("tile", "shift"))
+@partial(jax.jit,
+         static_argnames=("tile", "shift", "chunk", "interpret"))
 def local_group(keys: jnp.ndarray, payload: jnp.ndarray,
-                tile: int = 1024, shift: int = 24):
+                tile: int = 1024, shift: int = 24, chunk: int = 128,
+                interpret: bool = False):
     """Per-block VMEM bucket staging: returns (grouped_keys,
     grouped_payload, local_base [B, 256]) with each tile's pairs
-    reordered bin-contiguously (block-local order preserved in-bin)."""
+    reordered bin-contiguously (block-local order preserved in-bin).
+
+    Layout: each tile is a [tile//128, 128] plane of a 3D array so one
+    grid step owns exactly one tile while the sublane block dimension
+    stays a multiple of 8 (tile >= 1024). Two pallas_calls (see
+    _place_kernel for why the fusion is off the table)."""
     n = keys.shape[0]
+    if tile % (128 * 8):
+        raise ValueError(f"tile={tile} must be a multiple of 1024")
     if n % tile:
         raise ValueError(f"n={n} must be a multiple of tile={tile}")
     nblocks = n // tile
-    gk, gp, lb = pl.pallas_call(
-        partial(_group_kernel, tile=tile, shift=shift),
+    sub = tile // 128
+    vspec = pl.BlockSpec((1, sub, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    k3 = keys.reshape(nblocks, sub, 128)
+    p3 = payload.reshape(nblocks, sub, 128)
+    dest, lb = pl.pallas_call(
+        partial(_dest_kernel, tile=tile, shift=shift, chunk=chunk),
         out_shape=(
-            jax.ShapeDtypeStruct((nblocks, tile), jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, tile), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, 256), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 8, 256), jnp.int32),
         ),
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, tile), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[vspec],
         out_specs=(
-            pl.BlockSpec((1, tile), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda b: (b, 0),
+            vspec,
+            pl.BlockSpec((1, 8, 256), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-    )(keys.reshape(nblocks, tile), payload.reshape(nblocks, tile))
-    return gk.reshape(n), gp.reshape(n), lb
+        interpret=interpret,
+    )(k3)
+    gk, gp = pl.pallas_call(
+        partial(_place_kernel, tile=tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, sub, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, sub, 128), jnp.int32),
+        ),
+        grid=(nblocks,),
+        in_specs=[vspec, vspec, vspec],
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(k3, p3, dest)
+    return gk.reshape(n), gp.reshape(n), lb[:, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -202,57 +279,99 @@ def local_group(keys: jnp.ndarray, payload: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _flush_kernel(desc_ref, src_ref, out_ref, scratch, sem,
+def _flush_kernel(desc_ref, src_ref, out_ref, dsc, sem,
                   *, granule: int, per_block: int):
-    """Stage one [per_block, granule] source window into VMEM, then
-    flush each granule row to a DYNAMIC destination row of the HBM
-    output — the isolated data motion of a partition pass's phase 2b
-    (read n, write n, granule-grained placement)."""
+    """Flush each granule row of the block's source window to a DYNAMIC
+    destination row of the HBM output — the isolated data motion of a
+    partition pass's phase 2b (read n, write n, granule-grained
+    placement). Granule rows move HBM->HBM directly: the DMA engine
+    pays the same read+write traffic a VMEM-staged flush would, without
+    capping per_block at what a VMEM stage can hold."""
     blk = pl.program_id(0)
-    stage = pltpu.make_async_copy(
-        src_ref.at[pl.ds(blk * per_block, per_block), :], scratch, sem
+    # stage the block's descriptor window into SMEM (a full-array SMEM
+    # operand overflows SMEM at 2^28 / granule 128, and blocked SMEM
+    # operands hit XLA-vs-Mosaic layout clashes)
+    dstage = pltpu.make_async_copy(
+        desc_ref.at[pl.ds(blk * per_block, per_block)], dsc, sem
     )
-    stage.start()
-    stage.wait()
+    dstage.start()
+    dstage.wait()
+
+    # W outstanding DMAs (issue i, wait i-W): measures pipelined
+    # scatter throughput, not per-DMA round-trip latency — a serialized
+    # start();wait() loop caps at the ~6 us DMA latency (~160 k DMA/s)
+    # regardless of granule
+    W = min(16, per_block)
+
+    def _copy(i):
+        d = dsc[i]
+        return pltpu.make_async_copy(
+            src_ref.at[blk * per_block + i], out_ref.at[d], sem)
 
     def body(i, _):
-        d = desc_ref[blk * per_block + i]
-        copy = pltpu.make_async_copy(
-            scratch.at[i], out_ref.at[d], sem
-        )
-        copy.start()
-        copy.wait()
+        _copy(i).start()
+
+        @pl.when(i >= W)
+        def _wait_prev():
+            _copy(i - W).wait()
+
         return 0
 
     jax.lax.fori_loop(0, per_block, body, 0)
 
+    def drain(i, _):
+        _copy(i).wait()
+        return 0
 
-@partial(jax.jit, static_argnames=("granule", "per_block", "out_rows"))
+    jax.lax.fori_loop(per_block - W, per_block, drain, 0)
+
+
+@partial(jax.jit, static_argnames=("granule", "per_block", "out_rows",
+                                   "interpret"))
 def granule_flush(desc: jnp.ndarray, src: jnp.ndarray, granule: int,
-                  per_block: int, out_rows: int) -> jnp.ndarray:
+                  per_block: int, out_rows: int,
+                  interpret: bool = False) -> jnp.ndarray:
     """Scatter granule rows of `src` (int32 [total, granule]) to rows
     `desc` (int32 [total]) of a [out_rows, granule] output. Pure
     dynamic-offset DMA throughput probe."""
     total = desc.shape[0]
     if total % per_block:
         raise ValueError("per_block must divide the descriptor count")
+    if per_block != total and per_block % 1024:
+        raise ValueError("per_block must be a multiple of 1024 (the XLA "
+                         "tiling of the rank-1 i32 descriptor array, "
+                         "which per-block DMA slices must align to)")
+    # DMA-unit layout: a granule must be sublane-aligned. granule=128
+    # is exactly one (1, 128) lane row (allowed); larger granules must
+    # be multiples of 1024 and ride as [8, granule//8] slabs so each
+    # unit owns full 8-sublane tiles (Mosaic rejects 1-sublane slices
+    # of wider rows: "slice shape along dimension 0 must be aligned").
+    if granule == 128:
+        unit = (granule,)
+    elif granule % 1024 == 0:
+        unit = (8, granule // 8)
+    else:
+        raise ValueError(
+            f"granule={granule}: only 128 or multiples of 1024 are "
+            "DMA-alignable")
     nblocks = total // per_block
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out = pl.pallas_call(
+        partial(_flush_kernel, granule=granule, per_block=per_block),
+        out_shape=jax.ShapeDtypeStruct((out_rows,) + unit, jnp.int32),
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((per_block, granule), jnp.int32),
+            pltpu.SMEM((per_block,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    return pl.pallas_call(
-        partial(_flush_kernel, granule=granule, per_block=per_block),
-        out_shape=jax.ShapeDtypeStruct((out_rows, granule), jnp.int32),
-        grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(desc, src)
+        interpret=interpret,
+    )(desc, src.reshape((total,) + unit))
+    return out.reshape(out_rows, granule)
 
 
 # ---------------------------------------------------------------------------
@@ -261,9 +380,9 @@ def granule_flush(desc: jnp.ndarray, src: jnp.ndarray, granule: int,
 
 
 def check_histogram(keys: np.ndarray, tile: int = 8192,
-                    shift: int = 24) -> bool:
+                    shift: int = 24, interpret: bool = False) -> bool:
     got = np.asarray(block_histograms(jnp.asarray(keys), tile=tile,
-                                      shift=shift))
+                                      shift=shift, interpret=interpret))
     b = (keys >> np.uint32(shift)) & np.uint32(0xFF)
     want = np.stack([
         np.bincount(b[i * tile:(i + 1) * tile], minlength=256)
@@ -273,9 +392,11 @@ def check_histogram(keys: np.ndarray, tile: int = 8192,
 
 
 def check_local_group(keys: np.ndarray, payload: np.ndarray,
-                      tile: int = 1024, shift: int = 24) -> bool:
+                      tile: int = 1024, shift: int = 24,
+                      interpret: bool = False) -> bool:
     gk, gp, lb = (np.asarray(x) for x in local_group(
-        jnp.asarray(keys), jnp.asarray(payload), tile=tile, shift=shift))
+        jnp.asarray(keys), jnp.asarray(payload), tile=tile, shift=shift,
+        interpret=interpret))
     ball = (keys >> np.uint32(shift)) & np.uint32(0xFF)
     for i in range(len(keys) // tile):
         sl = slice(i * tile, (i + 1) * tile)
@@ -291,13 +412,15 @@ def check_local_group(keys: np.ndarray, payload: np.ndarray,
     return True
 
 
-def check_granule_flush(total: int = 64, granule: int = 128,
-                        per_block: int = 16) -> bool:
+def check_granule_flush(total: int = 2048, granule: int = 128,
+                        per_block: int = 1024,
+                        interpret: bool = False) -> bool:
     rng = np.random.default_rng(0)
     desc = rng.permutation(total).astype(np.int32)
     src = rng.integers(0, 1 << 30, (total, granule), dtype=np.int32)
     out = np.asarray(granule_flush(jnp.asarray(desc), jnp.asarray(src),
-                                   granule, per_block, total))
+                                   granule, per_block, total,
+                                   interpret=interpret))
     want = np.zeros_like(src)
     want[desc] = src
     return bool(np.array_equal(out, want))
