@@ -500,6 +500,7 @@ def walk_probe(log_n: int, reps: int = 3) -> dict:
     marker spacing on the cycle), next to the pointer-jumping cost.
     """
     import math
+    from functools import partial
 
     import jax
     import jax.numpy as jnp
