@@ -49,10 +49,19 @@ Design notes for the in-kernel steps (all shapes static, no scatter):
     reduction; no take_along_axis (Mosaic's dynamic in-VMEM gather is
     the primitive being avoided).
   - the local reorder is a permutation matmul: M[s, t] = (dest[t] == s)
-    contracted against the pair planes split into exact-in-f32 16-bit
-    halves — O(T^2) MACs per tile ride the MXU.
+    contracted against the pair planes split into exact-in-bf16 8-bit
+    bytes — O(T^2) MACs per tile ride the MXU.
   - every flush DMA has STATIC size G (Pallas cannot issue
     dynamic-length copies); only destinations are dynamic.
+
+MEASURED VERDICT (2026-08-22, v5e, BENCH_DETAIL radix_partition_probe_r5):
+negative, decisively — the grouping stage alone costs 1.77x the entire
+flat lax.sort it would replace at 2^28 (2.37 s vs 1.34 s), the best
+composed 8-bit pass is 3.5x, and VMEM-feasible tiles pay 16-32x
+granule-quantization write amplification. The scatter DMAs themselves
+are NOT the bottleneck (16-27 GB/s pipelined at W=16 outstanding).
+These kernels stay as the measurement harness + regression surface for
+that closed question.
 
 Run: python -m stringsearch_tpu.harness.microbench radix --n 24
 """
@@ -70,8 +79,8 @@ from jax.experimental.pallas import tpu as pltpu
 _I32 = jnp.int32
 
 # Mosaic requires the sublane (second-minor) block dimension to be a
-# multiple of 8, so every rowwise kernel below processes 8 blocks per
-# grid step.
+# multiple of 8, so the histogram kernel processes 8 blocks per grid
+# step (the grouping kernels instead shape each tile [tile//128, 128]).
 _ROWS = 8
 
 
